@@ -5,6 +5,8 @@ column names, order-insensitive value comparison)."""
 from __future__ import annotations
 
 import math
+
+import numpy as np
 import os
 import sys
 
@@ -45,9 +47,22 @@ def ddb():
 def _norm_cell(v):
     if v is None:
         return None
-    if isinstance(v, float):
+    if not isinstance(v, (list, tuple, dict)):
+        try:
+            if pd.isna(v):
+                return None
+        except (TypeError, ValueError):
+            pass
+    if isinstance(v, (bool, np.bool_)):
+        return bool(v)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
-            return "nan"
+            return None
+        if v.is_integer() and abs(v) < 2**53:
+            return str(int(v))
         return f"{v:.9g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
