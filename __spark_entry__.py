@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark) runs the flagship parse→enrich→route→aggregate pipeline on
+the sf0.001-scale transcripts table; queries()/oracle_sql() expose every
+implemented operator with its DuckDB oracle (vector_spark.queries).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-sink windowed aggregates of the full pipeline at
+    sf0.001 — one frame with (sink, window_start, n, sum_bytes,
+    sum_latency, n_convs)."""
+    from vector_spark.data.transcripts import load_transcripts
+    from vector_spark.plans.transcript_pipeline import run_pipeline
+
+    transcripts = load_transcripts(spark, "/root/testdata/sf0.001")
+    result = run_pipeline(spark, transcripts, persist=False)
+    parts = []
+    for sink, agg in result["aggregates"].items():
+        parts.append(
+            agg.select(
+                F.lit(sink).alias("sink"),
+                "window_start",
+                "n",
+                "sum_bytes",
+                "sum_latency",
+                "n_convs",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from vector_spark.queries import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from vector_spark.queries import oracle_sql as _o
+
+    return _o()

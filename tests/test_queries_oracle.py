@@ -1,0 +1,28 @@
+"""Every registered driver query vs its DuckDB oracle at sf0.01 — the
+same comparison the driver's CORRECTNESS gate runs."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_frames_match
+from vector_spark.queries import _REGISTRY
+
+ORACLED = sorted(k for k, v in _REGISTRY.items() if v[1] is not None)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, ddb, name):
+    fn, oracle = _REGISTRY[name]
+    sdf = fn(spark, SF_DIR)
+    assert_frames_match(sdf, ddb.sql(oracle))
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert df.columns == [
+        "sink", "window_start", "n", "sum_bytes", "sum_latency", "n_convs",
+    ]

@@ -25,6 +25,7 @@ the same generator produces the 10^12-turn shape on a cluster.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -165,9 +166,35 @@ def n_turns_for_sf_dir(sf_dir: str) -> int:
 
 
 def transcripts_df(spark: SparkSession, n_turns: int) -> DataFrame:
+    """The generator as a lazy plan (no materialization).
+
+    NOTE: downstream regex parsing over this raw plan re-inlines the
+    large text-construction expression into every extracted field and
+    blows up whole-stage codegen — use :func:`transcripts_table` for
+    anything that consumes `text`.
+    """
     return spark.sql(spark_transcripts_sql(n_turns))
+
+
+CACHE_DIR = os.environ.get("VECTOR_SPARK_CACHE", "/tmp/vector_spark_cache")
+
+
+def transcripts_table(
+    spark: SparkSession, n_turns: int, cache_dir: str | None = None
+) -> DataFrame:
+    """Materialized transcripts table (write-once parquet cache).
+
+    Production ingests from an Iceberg/parquet table; materializing the
+    synthetic data reproduces that shape AND severs the expression
+    lineage so the parse stage scans plain columns (pushdown + codegen
+    stay small)."""
+    cache_dir = cache_dir or CACHE_DIR
+    path = os.path.join(cache_dir, f"transcripts_{n_turns}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        transcripts_df(spark, n_turns).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript table at the scale implied by an sf dir (driver contract)."""
-    return transcripts_df(spark, n_turns_for_sf_dir(sf_dir))
+    return transcripts_table(spark, n_turns_for_sf_dir(sf_dir))

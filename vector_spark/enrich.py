@@ -1,0 +1,79 @@
+"""Enrichment tables — broadcast lookup joins.
+
+Reference: trait ``Table::find_table_row(s)`` with conjunctions of
+``Condition::{Equals, BetweenDates, FromDate, ToDate}`` — i.e. an
+equi-join with an optional date-interval predicate
+(/root/reference/lib/vector-vrl/enrichment/src/lib.rs:24-43,105-148);
+the single-row variant errors with NoRowsFound/MoreThanOneRowFound
+(lib.rs:53-57).  The CSV file table builds a hash index over the keyed
+fields (/root/reference/src/enrichment_tables/file.rs:421-526).
+
+Spark design: the lookup side is small by construction (dimension
+data), so the hash index is a broadcast hash join — Catalyst builds the
+hash table once per executor, no shuffle of the fact side.  The
+MoreThanOneRowFound contract becomes a load-time uniqueness assertion
+(cheap: one agg over the small side) so the join can never fan out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+class EnrichmentError(ValueError):
+    pass
+
+
+def assert_unique_key(lookup: DataFrame, keys: list[str]) -> None:
+    """MoreThanOneRowFound at load time: fail fast if any key duplicates."""
+    dup = (
+        lookup.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise EnrichmentError(
+            f"MoreThanOneRowFound: duplicate lookup key {tuple(dup[0][:-1])}"
+        )
+
+
+def enrich(
+    fact: DataFrame,
+    lookup: DataFrame,
+    keys: list[str],
+    *,
+    date_col: str | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    strict: bool = True,
+    how: str = "left",
+) -> DataFrame:
+    """Broadcast equi-join (+ optional date-range predicate).
+
+    ``date_col`` enables the BetweenDates variant: the fact row's
+    timestamp must fall in [valid_from, valid_to] on the lookup row.
+    Unmatched fact rows keep null enrichment columns (the NoRowsFound
+    analogue; filter them if the pipeline wants hard failure).
+    """
+    if strict:
+        assert_unique_key(lookup, keys)
+    right = F.broadcast(lookup)
+    if date_col is None:
+        joined = fact.join(right, on=keys, how=how)
+        return joined
+    cond: Column = F.lit(True)
+    for k in keys:
+        cond = cond & (fact[k] == lookup[k])
+    cond = cond & fact[date_col].between(lookup[valid_from], lookup[valid_to])
+    joined = fact.join(right, on=cond, how=how)
+    # drop the duplicated key columns from the lookup side
+    return joined.drop(*[lookup[k] for k in keys])
+
+
+def load_csv_lookup(spark, path: str, schema: str) -> DataFrame:
+    """CSV enrichment table with explicit typed schema — the analogue of
+    file.rs's `string|date|timestamp|int|float|bool` coercion (no
+    inferSchema; production tables declare types)."""
+    return spark.read.csv(path, header=True, schema=schema)

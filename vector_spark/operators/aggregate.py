@@ -1,0 +1,86 @@
+"""aggregate — windowed metric aggregation.
+
+Reference: metrics aggregated per ``MetricSeries`` key and flushed every
+``interval_ms`` of processing time, with modes Auto/Sum/Latest/Count/
+Diff/Max/Min/Mean/Stdev (/root/reference/src/transforms/aggregate.rs:29-75,
+:298-376 flush incl. mean/stdev, :379-416 interval loop).
+
+Batch re-specification: processing-time flush is nondeterministic, so
+windows are DETERMINISTIC event-time tumbling windows over ``ts`` —
+same aggregate values, reproducible and testable (SURVEY §2.8).  The
+groupBy shuffles once on (keys, window); partial aggregation
+(map-side combine) comes free from Catalyst's hash aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: mode name -> aggregation expression builder (value column, ts column)
+_MODES = {
+    "sum": lambda v, ts: F.sum(v),
+    "count": lambda v, ts: F.count(v),
+    "max": lambda v, ts: F.max(v),
+    "min": lambda v, ts: F.min(v),
+    "mean": lambda v, ts: F.avg(v),
+    "stdev": lambda v, ts: F.stddev_pop(v),
+    "latest": lambda v, ts: F.max_by(v, ts),
+    "earliest": lambda v, ts: F.min_by(v, ts),
+    "count_distinct": lambda v, ts: F.countDistinct(v),
+}
+
+
+def window_start(ts: Column, interval_sec: int) -> Column:
+    """Tumbling-window start (epoch-floor; equivalent to
+    F.window(ts, ...).start but portable to the DuckDB oracle)."""
+    e = F.unix_timestamp(ts)
+    return F.timestamp_seconds((e / interval_sec).cast("long") * interval_sec)
+
+
+def aggregate(
+    df: DataFrame,
+    keys: list[str],
+    specs: dict[str, tuple[str, str]],
+    *,
+    ts_col: str = "ts",
+    interval_sec: int = 60,
+    window_col: str = "window_start",
+) -> DataFrame:
+    """``specs``: out_name -> (mode, value_column).
+
+    Example: {"n": ("count", "*"), "p_sum": ("sum", "latency_ms"),
+    "last_status": ("latest", "http_status")}
+    """
+    ts = F.col(ts_col)
+    aggs = []
+    for out, (mode, col) in specs.items():
+        if mode == "count" and col == "*":
+            aggs.append(F.count(F.lit(1)).alias(out))
+            continue
+        if mode not in _MODES:
+            raise ValueError(f"unknown aggregate mode {mode!r}")
+        aggs.append(_MODES[mode](F.col(col), ts).alias(out))
+    return (
+        df.withColumn(window_col, window_start(ts, interval_sec))
+        .groupBy(*keys, window_col)
+        .agg(*aggs)
+    )
+
+
+def diff(
+    agg_df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    *,
+    window_col: str = "window_start",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Aggregate mode Diff — delta vs the previous flush of the same
+    series (aggregate.rs:29-75): lag across window boundaries."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(window_col)
+    out_col = out_col or f"{value_col}_diff"
+    return agg_df.withColumn(
+        out_col, F.col(value_col) - F.lag(value_col).over(w)
+    )

@@ -1,0 +1,176 @@
+"""Metric-family operators: log_to_metric, metric_to_log,
+incremental_to_absolute, tag_cardinality_limit, static enrichment,
+delay.
+
+The metric data model (SURVEY §1.3): a metric row is
+``(name string, namespace string, tags map<string,string>,
+kind string['incremental'|'absolute'], value double, ts timestamp)`` —
+the Spark relational rendering of MetricSeries/MetricData
+(/root/reference/lib/vector-core/src/event/metric/mod.rs:56-100).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+METRIC_COLS = ["name", "namespace", "tags", "kind", "value", "ts"]
+
+
+def log_to_metric(
+    df: DataFrame,
+    rules: list[dict],
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Derive metric rows from log fields
+    (/root/reference/src/transforms/log_to_metric.rs:45-77).
+
+    Each rule: ``{type: 'counter'|'gauge'|'set'|'histogram',
+    name: str, namespace: str, field: str|None, tags: {k: column_name}}``.
+    - counter without field → value 1 per event; with field →
+      increment_by_value.
+    - gauge/histogram → the field's numeric value (histogram buckets are
+      an aggregation concern downstream).
+    Rows where the rule's field is null are skipped (the reference's
+    per-rule template render failure).  Output is the UNION of the
+    per-rule projections — one pass per rule over a shared scan.
+    """
+    outs = []
+    for r in rules:
+        field = r.get("field")
+        value = (
+            F.lit(1.0) if field is None else F.col(field).cast("double")
+        )
+        tags = r.get("tags", {})
+        tag_col = F.map_from_arrays(
+            F.array(*[F.lit(k) for k in tags]),
+            F.array(*[F.col(v).cast("string") for v in tags.values()]),
+        ) if tags else F.create_map().cast("map<string,string>")
+        proj = df.select(
+            F.lit(r["name"]).alias("name"),
+            F.lit(r.get("namespace", "ns")).alias("namespace"),
+            tag_col.alias("tags"),
+            F.lit(
+                "absolute" if r.get("type") == "gauge" else "incremental"
+            ).alias("kind"),
+            value.alias("value"),
+            F.col(ts_col).alias("ts"),
+        )
+        if field is not None:
+            proj = proj.filter(F.col("value").isNotNull())
+        outs.append(proj)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def metric_to_log(df: DataFrame) -> DataFrame:
+    """Serialize metric rows into structured logs
+    (/root/reference/src/transforms/metric_to_log.rs:33-90):
+    one JSON message column + the flattened fields."""
+    return df.select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("message"),
+        *[F.col(c) for c in df.columns],
+    )
+
+
+def trace_to_log(df: DataFrame, kind_col: str = "kind") -> DataFrame:
+    """Re-tag trace events as logs
+    (/root/reference/src/transforms/trace_to_log.rs) — a relabel."""
+    if kind_col in df.columns:
+        return df.withColumn(kind_col, F.lit("log"))
+    return df
+
+
+def incremental_to_absolute(
+    df: DataFrame,
+    series_keys: list[str] = ("name", "namespace"),
+    *,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Running cumulative sum per series
+    (/root/reference/src/transforms/incremental_to_absolute.rs:21-100):
+    incremental rows become absolute running totals; absolute rows pass
+    through unchanged."""
+    # RANGE frame: simultaneous events share the same cumulative value,
+    # keeping the result deterministic under timestamp ties.
+    w = (
+        W.partitionBy(*series_keys)
+        .orderBy(ts_col)
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    running = F.sum(
+        F.when(F.col(kind_col) == "incremental", F.col(value_col))
+    ).over(w)
+    return df.withColumn(
+        value_col,
+        F.when(F.col(kind_col) == "incremental", running).otherwise(
+            F.col(value_col)
+        ),
+    ).withColumn(kind_col, F.lit("absolute"))
+
+
+def tag_cardinality_limit(
+    df: DataFrame,
+    tag_cols: list[str],
+    value_limit: int = 500,
+    *,
+    action: str = "drop_tag",
+    ts_col: str = "ts",
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Cap distinct values per tag column
+    (/root/reference/src/transforms/tag_cardinality_limit/config.rs:89-170).
+
+    Deterministic re-spec of the first-seen HashSet: a tag value is
+    "accepted" if it is among the first ``value_limit`` distinct values
+    by first-seen time (min ts, value as tie-break).  ``drop_tag``
+    nulls the offending tag; ``drop_event`` drops the row.  Cost: one
+    small agg per tag (distinct values) broadcast back — no extra
+    shuffle of the fact table.
+    """
+    out = df
+    for tag in tag_cols:
+        first_seen = (
+            df.filter(F.col(tag).isNotNull())
+            .groupBy(tag)
+            .agg(F.min(ts_col).alias("_first_ts"))
+            .withColumn(
+                "_rank",
+                F.row_number().over(
+                    W.orderBy(F.col("_first_ts"), F.col(tag))
+                ),
+            )
+            .filter(F.col("_rank") <= value_limit)
+            .select(F.col(tag).alias("_ok_val"))
+        )
+        ok = F.broadcast(first_seen)
+        joined = out.join(ok, out[tag] == ok["_ok_val"], "left")
+        if action == "drop_tag":
+            out = joined.withColumn(
+                tag,
+                F.when(F.col("_ok_val").isNotNull(), F.col(tag)),
+            ).drop("_ok_val")
+        elif action == "drop_event":
+            out = joined.filter(F.col("_ok_val").isNotNull()).drop("_ok_val")
+        else:
+            raise ValueError(f"unknown action {action!r}")
+    return out
+
+
+def static_enrich(df: DataFrame, fields: dict[str, object]) -> DataFrame:
+    """Constant metadata columns resolved at the driver — the
+    aws_ec2_metadata analogue
+    (/root/reference/src/transforms/aws_ec2_metadata.rs:98-158)."""
+    for k, v in fields.items():
+        df = df.withColumn(k, F.lit(v))
+    return df
+
+
+def delay(df: DataFrame) -> DataFrame:
+    """delay (/root/reference/src/transforms/delay.rs:25-80) is a
+    wall-clock ordering construct; in a batch DAG it is the identity."""
+    return df

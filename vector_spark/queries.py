@@ -1,0 +1,608 @@
+"""Driver-contract queries: one entry per implemented operator, each
+paired with an ANSI-SQL DuckDB oracle over the same inputs.
+
+Spark side: library operators over the synthesized transcripts table
+(vector_spark.data.transcripts) or the driver-provided parquet tables.
+Oracle side: equivalent SQL; transcript queries prepend the portable
+generator CTE at the driver's compare scale (sf0.01 → 60_000 turns).
+
+Column names are aliased identically on both sides — the driver's
+compare sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from vector_spark.data.oracles import parsed_cte, transcripts_cte
+from vector_spark.data.transcripts import load_transcripts
+from vector_spark.operators import (
+    aggregate,
+    context_window,
+    dedupe,
+    diff,
+    exclusive_route,
+    incremental_to_absolute,
+    log_to_metric,
+    reduce_events,
+    route,
+    sample_mod,
+    sessionize,
+    tag_cardinality_limit,
+    throttle,
+)
+from vector_spark.plans.transcript_pipeline import (
+    ROUTE_CONDS,
+    enriched_transcripts,
+)
+
+#: the driver compares at sf0.01
+N_ORACLE = 60_000
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+_FLAT_COLS = (
+    "conv_id, turn_idx, role, tool, ts, format, client_ip, username, "
+    "log_time, http_method, http_url, http_status, http_bytes, level, "
+    "msg, latency_ms, service, code, retry"
+)
+
+
+def _parsed_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, _ = enriched_transcripts(spark, load_transcripts(spark, sf_dir))
+    return out.select(
+        "conv_id", "turn_idx", "role", "tool", "ts", "parsed.*",
+        "team", "cost_weight",
+    )
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, _ = enriched_transcripts(spark, load_transcripts(spark, sf_dir))
+    return out
+
+
+_ENRICH_CTE = (
+    parsed_cte(N_ORACLE, with_lookup=True)
+    + """,
+enriched AS (
+  SELECT p.*, l.team, l.cost_weight
+  FROM parsed p LEFT JOIN tool_lookup l USING (tool, role)
+  WHERE p.parse_ok
+)"""
+)
+
+
+# ---------------------------------------------------------------------------
+# parse / remap
+
+
+@register(
+    "parse_extract",
+    parsed_cte(N_ORACLE)
+    + f"\nSELECT {_FLAT_COLS}, parse_ok FROM parsed",
+)
+def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.functions.parse import parse_transcripts
+
+    df = parse_transcripts(load_transcripts(spark, sf_dir))
+    return df.select(
+        "conv_id", "turn_idx", "role", "tool", "ts", "parsed.*", "parse_ok"
+    )
+
+
+@register(
+    "parse_dropped",
+    parsed_cte(N_ORACLE)
+    + "\nSELECT conv_id, turn_idx, text, 'parse_error' AS _dropped_reason "
+    "FROM parsed WHERE NOT parse_ok",
+)
+def q_parse_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.functions.parse import parse_transcripts, split_errors
+
+    _, dropped = split_errors(parse_transcripts(load_transcripts(spark, sf_dir)))
+    return dropped.select("conv_id", "turn_idx", "text", "_dropped_reason")
+
+
+# ---------------------------------------------------------------------------
+# enrich
+
+
+@register(
+    "enrich_lookup",
+    _ENRICH_CTE
+    + "\nSELECT conv_id, turn_idx, tool, role, team, cost_weight FROM enriched",
+)
+def q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _enriched(spark, sf_dir).select(
+        "conv_id", "turn_idx", "tool", "role", "team", "cost_weight"
+    )
+
+
+# ---------------------------------------------------------------------------
+# route (non-exclusive) — one row-level query per sink + count parity
+
+
+def _route_sink(name: str) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        sinks = route(
+            _enriched(spark, sf_dir),
+            {k: v[0] for k, v in ROUTE_CONDS.items()},
+        )
+        df = sinks[name if name != "unmatched" else "_unmatched"]
+        return df.select("conv_id", "turn_idx", "role", "tool")
+
+    return fn
+
+
+def _route_oracle(cond: str) -> str:
+    return (
+        _ENRICH_CTE
+        + f"\nSELECT conv_id, turn_idx, role, tool FROM enriched WHERE {cond}"
+    )
+
+
+_UNMATCHED_COND = " AND ".join(
+    f"NOT coalesce({v[1]}, false)" for v in ROUTE_CONDS.values()
+)
+
+for _name, (_s, _d) in ROUTE_CONDS.items():
+    register(f"route_{_name}", _route_oracle(_d))(_route_sink(_name))
+register("route_unmatched", _route_oracle(_UNMATCHED_COND))(
+    _route_sink("unmatched")
+)
+
+
+@register(
+    "route_counts",
+    _ENRICH_CTE
+    + "".join(
+        f"""
+, c_{name} AS (SELECT '{name}' AS sink, count(*) AS n FROM enriched WHERE {cond})"""
+        for name, (_, cond) in ROUTE_CONDS.items()
+    )
+    + f"""
+, c_unmatched AS (SELECT '_unmatched' AS sink, count(*) AS n FROM enriched WHERE {_UNMATCHED_COND})
+SELECT * FROM c_sink_errors UNION ALL SELECT * FROM c_sink_tools
+UNION ALL SELECT * FROM c_sink_slow UNION ALL SELECT * FROM c_sink_assistant
+UNION ALL SELECT * FROM c_unmatched""",
+)
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sink count parity — the north rule's headline check."""
+    enriched = _enriched(spark, sf_dir)
+    sinks = route(enriched, {k: v[0] for k, v in ROUTE_CONDS.items()})
+    parts = [
+        s.groupBy().agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("sink"), "n")
+        for name, s in sinks.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "exclusive_route_counts",
+    _ENRICH_CTE
+    + f"""
+SELECT CASE WHEN {ROUTE_CONDS['sink_errors'][1]} THEN 'sink_errors'
+            WHEN {ROUTE_CONDS['sink_tools'][1]} THEN 'sink_tools'
+            WHEN {ROUTE_CONDS['sink_slow'][1]} THEN 'sink_slow'
+            WHEN {ROUTE_CONDS['sink_assistant'][1]} THEN 'sink_assistant'
+            ELSE '_unmatched' END AS _route,
+       count(*) AS n
+FROM enriched GROUP BY 1""",
+)
+def q_exclusive_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = exclusive_route(
+        _enriched(spark, sf_dir),
+        [(k, v[0]) for k, v in ROUTE_CONDS.items()],
+    )
+    return df.groupBy("_route").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# aggregate (windowed, per sink_errors subset) + diff
+
+
+_AGG_SQL = """
+SELECT make_timestamp(((floor(epoch(ts))::BIGINT // 60) * 60) * 1000000) AS window_start,
+       count(*) AS n,
+       CAST(sum(http_bytes) AS BIGINT) AS sum_bytes,
+       CAST(sum(latency_ms) AS BIGINT) AS sum_latency,
+       min(latency_ms) AS min_latency,
+       max(latency_ms) AS max_latency,
+       count(DISTINCT conv_id) AS n_convs
+FROM enriched WHERE {cond}
+GROUP BY 1
+"""
+
+
+@register(
+    "aggregate_errors_1m",
+    _ENRICH_CTE + _AGG_SQL.format(cond=ROUTE_CONDS["sink_errors"][1]),
+)
+def q_aggregate_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sinks = route(
+        _enriched(spark, sf_dir), {k: v[0] for k, v in ROUTE_CONDS.items()}
+    )
+    return aggregate(
+        sinks["sink_errors"],
+        keys=[],
+        specs={
+            "n": ("count", "*"),
+            "sum_bytes": ("sum", "parsed.http_bytes"),
+            "sum_latency": ("sum", "parsed.latency_ms"),
+            "min_latency": ("min", "parsed.latency_ms"),
+            "max_latency": ("max", "parsed.latency_ms"),
+            "n_convs": ("count_distinct", "conv_id"),
+        },
+        ts_col="ts",
+        interval_sec=60,
+    )
+
+
+@register(
+    "aggregate_by_role_diff",
+    _ENRICH_CTE
+    + """,
+w AS (
+  SELECT role,
+         make_timestamp(((floor(epoch(ts))::BIGINT // 3600) * 3600) * 1000000) AS window_start,
+         count(*) AS n
+  FROM enriched GROUP BY 1, 2
+)
+SELECT role, window_start, n,
+       n - lag(n) OVER (PARTITION BY role ORDER BY window_start) AS n_diff
+FROM w""",
+)
+def q_aggregate_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = aggregate(
+        _enriched(spark, sf_dir),
+        keys=["role"],
+        specs={"n": ("count", "*")},
+        ts_col="ts",
+        interval_sec=3600,
+    )
+    return diff(agg, ["role"], "n")
+
+
+# ---------------------------------------------------------------------------
+# reduce (transcript collapse) + sessionize
+
+
+@register(
+    "reduce_conversations",
+    _ENRICH_CTE
+    + """
+SELECT conv_id,
+       arg_min(text, turn_idx) AS first_text,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS all_text,
+       count(*) AS n_turns,
+       CAST(sum(latency_ms) AS BIGINT) AS sum_latency,
+       string_agg(role, ',' ORDER BY turn_idx) AS roles,
+       min(ts) AS ts,
+       max(ts) AS ts_end
+FROM enriched GROUP BY conv_id""",
+)
+def q_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _enriched(spark, sf_dir).withColumn(
+        "latency_ms", F.col("parsed.latency_ms")
+    )
+    return reduce_events(
+        df,
+        group_by=["conv_id"],
+        strategies={
+            "first_text": ("discard", "text"),
+            "all_text": ("concat_newline", "text"),
+            "n_turns": ("count", "text"),
+            "sum_latency": ("sum", "latency_ms"),
+            "roles": ("concat", "role", ","),
+        },
+        ord_col="turn_idx",
+    )
+
+
+@register(
+    "sessionize_counts",
+    transcripts_cte(N_ORACLE)
+    + """,
+s AS (
+  SELECT conv_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 600 THEN 1 ELSE 0 END AS is_start
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+)
+SELECT conv_id, sum(is_start) AS n_sessions FROM s GROUP BY conv_id""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = sessionize(
+        load_transcripts(spark, sf_dir), ["conv_id"], gap_sec=600
+    )
+    return df.groupBy("conv_id").agg(
+        (F.max("session_id") + 1).alias("n_sessions")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedupe
+
+
+@register(
+    "dedupe_first_wins",
+    transcripts_cte(N_ORACLE)
+    + """,
+dup AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts
+  UNION ALL
+  SELECT conv_id, turn_idx, concat(role, '_dup') AS role, text, tool, ts
+  FROM transcripts WHERE turn_idx % 50 = 0
+),
+rn AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts, role) AS _rn
+  FROM dup
+)
+SELECT conv_id, turn_idx, role FROM rn WHERE _rn = 1""",
+)
+def q_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_transcripts(spark, sf_dir)
+    dup = base.unionByName(
+        base.filter(F.col("turn_idx") % 50 == 0).withColumn(
+            "role", F.concat(F.col("role"), F.lit("_dup"))
+        )
+    )
+    return dedupe(
+        dup, match=["conv_id", "turn_idx"], order_by=["ts", "role"]
+    ).select("conv_id", "turn_idx", "role")
+
+
+# ---------------------------------------------------------------------------
+# sample / throttle / context window
+
+
+@register(
+    "sample_mod_1in7",
+    transcripts_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx, 7 AS sample_rate FROM transcripts
+WHERE (turn_idx * 2654435761 + length(text)) % 7 = 0""",
+)
+def q_sample_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_transcripts(spark, sf_dir)
+    key = F.col("turn_idx").cast("long") * 2654435761 + F.length("text")
+    return sample_mod(df, 7, key).select("conv_id", "turn_idx", "sample_rate")
+
+
+@register(
+    "throttle_5_per_10m",
+    transcripts_cte(N_ORACLE)
+    + """,
+rn AS (
+  SELECT conv_id, turn_idx, role,
+         row_number() OVER (
+           PARTITION BY role, floor(epoch(ts))::BIGINT // 600
+           ORDER BY ts, conv_id, turn_idx) AS _rn
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, role FROM rn WHERE _rn <= 5""",
+)
+def q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = throttle(
+        load_transcripts(spark, sf_dir),
+        threshold=5,
+        window_sec=600,
+        key_fields=["role"],
+    )
+    return df.select("conv_id", "turn_idx", "role")
+
+
+@register(
+    "context_window_errors",
+    _ENRICH_CTE
+    + """,
+f AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN coalesce(level, '') = 'error' THEN 1 ELSE 0 END AS flag
+  FROM enriched
+),
+k AS (
+  SELECT conv_id, turn_idx,
+         max(flag) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS near
+  FROM f
+)
+SELECT conv_id, turn_idx FROM k WHERE near = 1""",
+)
+def q_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = context_window(
+        _enriched(spark, sf_dir),
+        flush_when="coalesce(parsed.level, '') = 'error'",
+        group_by=["conv_id"],
+        order_by=["turn_idx"],
+        before=2,
+        after=1,
+    )
+    return df.select("conv_id", "turn_idx")
+
+
+# ---------------------------------------------------------------------------
+# metric family
+
+
+_METRIC_CTE = (
+    _ENRICH_CTE
+    + """,
+metrics AS (
+  SELECT 'svc_requests' AS name, 'pipeline' AS namespace,
+         concat('{"service":"', service, '"}') AS tags_json,
+         'incremental' AS kind, 1.0 AS value, ts
+  FROM enriched WHERE service IS NOT NULL
+)"""
+)
+
+
+@register(
+    "log_to_metric_agg",
+    _METRIC_CTE
+    + """
+SELECT name, namespace, tags_json,
+       make_timestamp(((floor(epoch(ts))::BIGINT // 3600) * 3600) * 1000000) AS window_start,
+       count(*) AS n, sum(value) AS total
+FROM metrics GROUP BY 1, 2, 3, 4""",
+)
+def q_log_to_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _enriched(spark, sf_dir).select(
+        "ts", F.col("parsed.service").alias("service")
+    )
+    metrics = log_to_metric(
+        df.filter(F.col("service").isNotNull()),
+        [{"type": "counter", "name": "svc_requests", "namespace": "pipeline",
+          "tags": {"service": "service"}}],
+    ).withColumn("tags_json", F.to_json("tags"))
+    return aggregate(
+        metrics,
+        keys=["name", "namespace", "tags_json"],
+        specs={"n": ("count", "*"), "total": ("sum", "value")},
+        ts_col="ts",
+        interval_sec=3600,
+    )
+
+
+@register(
+    "incremental_to_absolute",
+    _METRIC_CTE
+    + """
+SELECT name, namespace, tags_json, ts,
+       sum(value) OVER (PARTITION BY name, namespace, tags_json ORDER BY ts) AS value
+FROM metrics""",
+)
+def q_incr_to_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _enriched(spark, sf_dir).select(
+        "ts", F.col("parsed.service").alias("service")
+    )
+    metrics = log_to_metric(
+        df.filter(F.col("service").isNotNull()),
+        [{"type": "counter", "name": "svc_requests", "namespace": "pipeline",
+          "tags": {"service": "service"}}],
+    ).withColumn("tags_json", F.to_json("tags"))
+    out = incremental_to_absolute(
+        metrics, series_keys=["name", "namespace", "tags_json"]
+    )
+    return out.select("name", "namespace", "tags_json", "ts", "value")
+
+
+@register(
+    "tag_cardinality_limit_3",
+    _ENRICH_CTE
+    + """,
+vals AS (
+  SELECT service, min(ts) AS first_ts FROM enriched
+  WHERE service IS NOT NULL GROUP BY service
+),
+ok AS (
+  SELECT service FROM (
+    SELECT service, row_number() OVER (ORDER BY first_ts, service) AS r FROM vals
+  ) WHERE r <= 3
+)
+SELECT CASE WHEN e.service IN (SELECT service FROM ok) THEN e.service END AS service,
+       count(*) AS n
+FROM enriched e
+GROUP BY 1""",
+)
+def q_tag_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _enriched(spark, sf_dir).select(
+        "conv_id", "turn_idx", "ts", F.col("parsed.service").alias("service")
+    )
+    limited = tag_cardinality_limit(df, ["service"], value_limit=3)
+    return limited.groupBy("service").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# generic engine coverage over driver-provided tables
+
+
+@register(
+    "tpch_q1",
+    """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "events_window_agg",
+    """
+SELECT event_type,
+       make_timestamp(((floor(epoch(ts))::BIGINT // 3600) * 3600) * 1000000) AS window_start,
+       count(*) AS n, sum(value) AS sum_value
+FROM events GROUP BY 1, 2""",
+)
+def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggregate(
+        ev,
+        keys=["event_type"],
+        specs={"n": ("count", "*"), "sum_value": ("sum", "value")},
+        ts_col="ts",
+        interval_sec=3600,
+    )
+
+
+@register(
+    "broadcast_join_nation",
+    """
+SELECT n.n_name AS nation, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1""",
+)
+def q_join_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
