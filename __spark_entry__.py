@@ -11,7 +11,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -21,26 +21,14 @@ def entry(spark: SparkSession) -> DataFrame:
     sf0.001 — one frame with (sink, window_start, n, sum_bytes,
     sum_latency, n_convs)."""
     from vector_spark.data.transcripts import load_transcripts
-    from vector_spark.plans.transcript_pipeline import run_pipeline
+    from vector_spark.plans.transcript_pipeline import (
+        enriched_transcripts,
+        fused_aggregates,
+    )
 
     transcripts = load_transcripts(spark, "/root/testdata/sf0.001")
-    result = run_pipeline(spark, transcripts, persist=False)
-    parts = []
-    for sink, agg in result["aggregates"].items():
-        parts.append(
-            agg.select(
-                F.lit(sink).alias("sink"),
-                "window_start",
-                "n",
-                "sum_bytes",
-                "sum_latency",
-                "n_convs",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    enriched, _dropped = enriched_transcripts(spark, transcripts)
+    return fused_aggregates(enriched)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,135 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <pipeline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...,
+   "cpus": N, "n_turns": N}
+
+The headline metric is the full parse→enrich→route→aggregate pipeline
+(all four sinks + unmatched + per-sink windowed aggregates), i.e. the
+BASELINE.md anchor "regex parsing 13.2 MiB/s" re-expressed as turns/sec.
+Run scaling_bench.py for the N-vs-4N-cores scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_override = os.environ.get("SPARK_GRAFT_BENCH_N")
+
+    from vector_spark.session import get_spark
+    from vector_spark.data.transcripts import (
+        n_turns_for_sf_dir,
+        transcripts_table,
+    )
+
+    spark = get_spark("vector_spark_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+
+    n_turns = int(n_override) if n_override else n_turns_for_sf_dir(sf_dir)
+    transcripts = transcripts_table(spark, n_turns)
+    transcripts.count()  # warm the cache/file listing outside timings
+
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.parse import parse_transcripts
+    from vector_spark.operators import dedupe, reduce_events, throttle
+
+    timings: dict[str, float] = {}
+
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+
+    def bench(name: str, fn) -> None:
+        # min-of-N: the sandbox shares cores with background load, and
+        # the first run pays codegen/broadcast warmup — min is the
+        # stable estimate of the plan's true cost
+        best = None
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    # headline: the full DAG as ONE job — parse, enrich, route-tag,
+    # explode, single groupBy(sink, window); includes _unmatched and
+    # _dropped sinks so nothing needs a second pass.  Output goes to a
+    # parquet sink (parallel write) — collect() would funnel every
+    # aggregate row through the driver and cap scaling.
+    def _pipeline() -> None:
+        from vector_spark.plans.transcript_pipeline import pipeline_stats
+
+        pipeline_stats(spark, transcripts).write.mode("overwrite").parquet(
+            "/tmp/vector_spark_bench_out"
+        )
+
+    bench("pipeline", _pipeline)
+
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        emit(timings, n_turns, cpus)
+        return
+
+    # parse engines head-to-head (full field materialization)
+    def _parse(engine: str):
+        def run() -> None:
+            df = parse_transcripts(transcripts, engine=engine)
+            df.groupBy("parsed.format").agg(
+                F.count(F.lit(1)), F.sum("parsed.http_bytes"),
+                F.sum("parsed.latency_ms"),
+            ).collect()
+
+        return run
+
+    bench("parse_jvm", _parse("jvm"))
+    bench("parse_pandas", _parse("pandas"))
+
+    bench(
+        "reduce_conversations",
+        lambda: reduce_events(
+            transcripts,
+            ["conv_id"],
+            {"all_text": ("concat_newline", "text"),
+             "n_turns": ("count", "text")},
+        ).count(),
+    )
+    bench(
+        "dedupe",
+        lambda: dedupe(transcripts, match=["conv_id", "turn_idx"]).count(),
+    )
+    bench(
+        "throttle",
+        lambda: throttle(
+            transcripts, threshold=5, window_sec=600, key_fields=["role"]
+        ).count(),
+    )
+
+    emit(timings, n_turns, cpus)
+
+
+def emit(timings: dict, n_turns: int, cpus: int) -> None:
+    out = {
+        "metric": "parse->enrich->route->aggregate pipeline wall time",
+        "value": timings["pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": round(n_turns / 6_000_000, 4),
+        "n_turns": n_turns,
+        "cpus": cpus,
+        "turns_per_sec": round(n_turns / timings["pipeline"], 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Two-cluster-size scaling evidence (sandbox substitute for N vs 4N
+executors): run bench.py at local[8] and local[32] on the SAME input
+and report throughput at both plus scaling efficiency.
+
+Mirrors the reference's own two-size regression pattern
+(/root/reference/regression/cases/scale_sync_only_{1,8}_cpu/ — same
+pipeline at 1 CPU vs 8 CPU).  Efficiency = (thr_4N / thr_N) / 4.
+
+Usage: python scaling_bench.py [n_turns]  (default 2_400_000)
+Writes SCALING.json and prints a summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def run_at(cpus: int, n_turns: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_BENCH_N"] = str(n_turns)
+    env["SPARK_GRAFT_BENCH_ONLY"] = "pipeline"
+    env.setdefault("SPARK_GRAFT_BENCH_ITERS", "3")
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=3600,
+    )
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
+    # N vs 4N cores.  Default 2 vs 8 rather than 8 vs 32: the sandbox
+    # host carries ~5 cores of unrelated background load, so a 32-thread
+    # run competes for cores while an 8-thread run does not — 2-vs-8
+    # keeps BOTH sizes below the free-core count and measures the
+    # pipeline's scaling rather than the host's contention.  Override
+    # with SCALE_LO/SCALE_HI.
+    lo = int(os.environ.get("SCALE_LO", "2"))
+    hi = int(os.environ.get("SCALE_HI", "8"))
+    r_lo = run_at(lo, n_turns)
+    r_hi = run_at(hi, n_turns)
+    eff = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / (hi / lo)
+    out = {
+        "n_turns": n_turns,
+        "cores_low": lo,
+        "cores_high": hi,
+        "turns_per_sec_low": r_lo["turns_per_sec"],
+        "turns_per_sec_high": r_hi["turns_per_sec"],
+        "pipeline_sec_low": r_lo["value"],
+        "pipeline_sec_high": r_hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "queries_low": r_lo["queries"],
+        "queries_high": r_hi["queries"],
+    }
+    with open("SCALING.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,5 +24,6 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert df.columns == [
-        "sink", "window_start", "n", "sum_bytes", "sum_latency", "n_convs",
+        "sink", "window_start", "n", "sum_bytes", "sum_latency",
+        "min_latency", "max_latency", "n_convs",
     ]

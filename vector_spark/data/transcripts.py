@@ -191,7 +191,12 @@ def transcripts_table(
     cache_dir = cache_dir or CACHE_DIR
     path = os.path.join(cache_dir, f"transcripts_{n_turns}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        transcripts_df(spark, n_turns).write.mode("overwrite").parquet(path)
+        # write enough files that a later scan parallelizes past the
+        # 128MB maxPartitionBytes floor (small-SF files are tiny)
+        nfiles = min(64, max(8, n_turns // 50_000))
+        transcripts_df(spark, n_turns).repartition(nfiles).write.mode(
+            "overwrite"
+        ).parquet(path)
     return spark.read.parquet(path)
 
 

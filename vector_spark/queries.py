@@ -71,14 +71,6 @@ _FLAT_COLS = (
 )
 
 
-def _parsed_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out, _ = enriched_transcripts(spark, load_transcripts(spark, sf_dir))
-    return out.select(
-        "conv_id", "turn_idx", "role", "tool", "ts", "parsed.*",
-        "team", "cost_weight",
-    )
-
-
 def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, _ = enriched_transcripts(spark, load_transcripts(spark, sf_dir))
     return out
@@ -149,7 +141,7 @@ def _route_sink(name: str) -> QueryFn:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         sinks = route(
             _enriched(spark, sf_dir),
-            {k: v[0] for k, v in ROUTE_CONDS.items()},
+            ROUTE_CONDS,
         )
         df = sinks[name if name != "unmatched" else "_unmatched"]
         return df.select("conv_id", "turn_idx", "role", "tool")
@@ -165,11 +157,11 @@ def _route_oracle(cond: str) -> str:
 
 
 _UNMATCHED_COND = " AND ".join(
-    f"NOT coalesce({v[1]}, false)" for v in ROUTE_CONDS.values()
+    f"NOT coalesce({v}, false)" for v in ROUTE_CONDS.values()
 )
 
-for _name, (_s, _d) in ROUTE_CONDS.items():
-    register(f"route_{_name}", _route_oracle(_d))(_route_sink(_name))
+for _name, _cond in ROUTE_CONDS.items():
+    register(f"route_{_name}", _route_oracle(_cond))(_route_sink(_name))
 register("route_unmatched", _route_oracle(_UNMATCHED_COND))(
     _route_sink("unmatched")
 )
@@ -181,7 +173,7 @@ register("route_unmatched", _route_oracle(_UNMATCHED_COND))(
     + "".join(
         f"""
 , c_{name} AS (SELECT '{name}' AS sink, count(*) AS n FROM enriched WHERE {cond})"""
-        for name, (_, cond) in ROUTE_CONDS.items()
+        for name, cond in ROUTE_CONDS.items()
     )
     + f"""
 , c_unmatched AS (SELECT '_unmatched' AS sink, count(*) AS n FROM enriched WHERE {_UNMATCHED_COND})
@@ -192,7 +184,7 @@ UNION ALL SELECT * FROM c_unmatched""",
 def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sink count parity — the north rule's headline check."""
     enriched = _enriched(spark, sf_dir)
-    sinks = route(enriched, {k: v[0] for k, v in ROUTE_CONDS.items()})
+    sinks = route(enriched, ROUTE_CONDS)
     parts = [
         s.groupBy().agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("sink"), "n")
         for name, s in sinks.items()
@@ -207,10 +199,10 @@ def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exclusive_route_counts",
     _ENRICH_CTE
     + f"""
-SELECT CASE WHEN {ROUTE_CONDS['sink_errors'][1]} THEN 'sink_errors'
-            WHEN {ROUTE_CONDS['sink_tools'][1]} THEN 'sink_tools'
-            WHEN {ROUTE_CONDS['sink_slow'][1]} THEN 'sink_slow'
-            WHEN {ROUTE_CONDS['sink_assistant'][1]} THEN 'sink_assistant'
+SELECT CASE WHEN {ROUTE_CONDS['sink_errors']} THEN 'sink_errors'
+            WHEN {ROUTE_CONDS['sink_tools']} THEN 'sink_tools'
+            WHEN {ROUTE_CONDS['sink_slow']} THEN 'sink_slow'
+            WHEN {ROUTE_CONDS['sink_assistant']} THEN 'sink_assistant'
             ELSE '_unmatched' END AS _route,
        count(*) AS n
 FROM enriched GROUP BY 1""",
@@ -218,7 +210,7 @@ FROM enriched GROUP BY 1""",
 def q_exclusive_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = exclusive_route(
         _enriched(spark, sf_dir),
-        [(k, v[0]) for k, v in ROUTE_CONDS.items()],
+        list(ROUTE_CONDS.items()),
     )
     return df.groupBy("_route").agg(F.count(F.lit(1)).alias("n"))
 
@@ -242,21 +234,21 @@ GROUP BY 1
 
 @register(
     "aggregate_errors_1m",
-    _ENRICH_CTE + _AGG_SQL.format(cond=ROUTE_CONDS["sink_errors"][1]),
+    _ENRICH_CTE + _AGG_SQL.format(cond=ROUTE_CONDS["sink_errors"]),
 )
 def q_aggregate_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sinks = route(
-        _enriched(spark, sf_dir), {k: v[0] for k, v in ROUTE_CONDS.items()}
+        _enriched(spark, sf_dir), ROUTE_CONDS
     )
     return aggregate(
         sinks["sink_errors"],
         keys=[],
         specs={
             "n": ("count", "*"),
-            "sum_bytes": ("sum", "parsed.http_bytes"),
-            "sum_latency": ("sum", "parsed.latency_ms"),
-            "min_latency": ("min", "parsed.latency_ms"),
-            "max_latency": ("max", "parsed.latency_ms"),
+            "sum_bytes": ("sum", "http_bytes"),
+            "sum_latency": ("sum", "latency_ms"),
+            "min_latency": ("min", "latency_ms"),
+            "max_latency": ("max", "latency_ms"),
             "n_convs": ("count_distinct", "conv_id"),
         },
         ts_col="ts",
@@ -289,6 +281,58 @@ def q_aggregate_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff(agg, ["role"], "n")
 
 
+_AGG_BODY = """
+SELECT make_timestamp(((floor(epoch(ts))::BIGINT // 60) * 60) * 1000000) AS window_start,
+       count(*) AS n,
+       CAST(sum(http_bytes) AS BIGINT) AS sum_bytes,
+       CAST(sum(latency_ms) AS BIGINT) AS sum_latency,
+       min(latency_ms) AS min_latency,
+       max(latency_ms) AS max_latency,
+       count(DISTINCT conv_id) AS n_convs
+FROM {tbl} WHERE {cond}
+GROUP BY 1
+"""
+
+_STATS_SQL = (
+    _ENRICH_CTE
+    + "\n"
+    + "\nUNION ALL\n".join(
+        [
+            f"SELECT '{name}' AS sink, * FROM ({_AGG_BODY.format(tbl='enriched', cond=cond)})"
+            for name, cond in ROUTE_CONDS.items()
+        ]
+        + [
+            f"SELECT '_unmatched' AS sink, * FROM ({_AGG_BODY.format(tbl='enriched', cond=_UNMATCHED_COND)})",
+            "SELECT '_dropped' AS sink, * FROM ("
+            + _AGG_BODY.format(tbl="parsed", cond="NOT parse_ok")
+            + ")",
+        ]
+    )
+)
+
+
+@register("pipeline_stats", _STATS_SQL)
+def q_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole pipeline as one job: every sink + _unmatched + _dropped."""
+    from vector_spark.plans.transcript_pipeline import pipeline_stats
+
+    return pipeline_stats(spark, load_transcripts(spark, sf_dir))
+
+
+_FUSED_SQL = _ENRICH_CTE + "\n" + "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS sink, * FROM ({_AGG_SQL.format(cond=cond)})"
+    for name, cond in ROUTE_CONDS.items()
+)
+
+
+@register("pipeline_fused_agg", _FUSED_SQL)
+def q_pipeline_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass all-sink aggregates (explode route tags, one shuffle)."""
+    from vector_spark.plans.transcript_pipeline import fused_aggregates
+
+    return fused_aggregates(_enriched(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # reduce (transcript collapse) + sessionize
 
@@ -308,8 +352,12 @@ SELECT conv_id,
 FROM enriched GROUP BY conv_id""",
 )
 def q_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _enriched(spark, sf_dir).withColumn(
-        "latency_ms", F.col("parsed.latency_ms")
+    out, _ = enriched_transcripts(
+        spark, load_transcripts(spark, sf_dir), flat=False
+    )
+    df = out.select(
+        "conv_id", "turn_idx", "ts", "role", "text",
+        F.col("parsed.latency_ms").alias("latency_ms"),
     )
     return reduce_events(
         df,
@@ -439,7 +487,7 @@ SELECT conv_id, turn_idx FROM k WHERE near = 1""",
 def q_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = context_window(
         _enriched(spark, sf_dir),
-        flush_when="coalesce(parsed.level, '') = 'error'",
+        flush_when="coalesce(level, '') = 'error'",
         group_by=["conv_id"],
         order_by=["turn_idx"],
         before=2,
@@ -474,9 +522,7 @@ SELECT name, namespace, tags_json,
 FROM metrics GROUP BY 1, 2, 3, 4""",
 )
 def q_log_to_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _enriched(spark, sf_dir).select(
-        "ts", F.col("parsed.service").alias("service")
-    )
+    df = _enriched(spark, sf_dir).select("ts", "service")
     metrics = log_to_metric(
         df.filter(F.col("service").isNotNull()),
         [{"type": "counter", "name": "svc_requests", "namespace": "pipeline",
@@ -500,9 +546,7 @@ SELECT name, namespace, tags_json, ts,
 FROM metrics""",
 )
 def q_incr_to_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _enriched(spark, sf_dir).select(
-        "ts", F.col("parsed.service").alias("service")
-    )
+    df = _enriched(spark, sf_dir).select("ts", "service")
     metrics = log_to_metric(
         df.filter(F.col("service").isNotNull()),
         [{"type": "counter", "name": "svc_requests", "namespace": "pipeline",
@@ -533,9 +577,7 @@ FROM enriched e
 GROUP BY 1""",
 )
 def q_tag_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _enriched(spark, sf_dir).select(
-        "conv_id", "turn_idx", "ts", F.col("parsed.service").alias("service")
-    )
+    df = _enriched(spark, sf_dir).select("conv_id", "turn_idx", "ts", "service")
     limited = tag_cardinality_limit(df, ["service"], value_limit=3)
     return limited.groupBy("service").agg(F.count(F.lit(1)).alias("n"))
 
