@@ -1,0 +1,121 @@
+"""Pipeline driver: checkpoint/resume, manifest metrics, graph checks,
+salted repartition (north rule: resumable from checkpoint with
+per-partition lineage + metrics; skew handled explicitly)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.data.transcripts import transcripts_table
+from vector_spark.plans.driver import Pipeline, PipelineGraphError, Stage, add_lineage
+from vector_spark.plans.skew import partition_histogram, salted_repartition
+
+CKPT = "/tmp/vector_spark_test_ckpt"
+
+
+@pytest.fixture
+def ckpt():
+    shutil.rmtree(CKPT, ignore_errors=True)
+    yield CKPT
+    shutil.rmtree(CKPT, ignore_errors=True)
+
+
+def _build(calls):
+    def parse(spark, t):
+        calls.append("parse")
+        from vector_spark.functions.parse import parse_transcripts
+
+        return parse_transcripts(t).select(
+            "conv_id", "turn_idx", "role", "tool", "ts", "parse_ok", "parsed.*"
+        )
+
+    def errors(spark, parsed):
+        calls.append("errors")
+        return parsed.filter("level = 'error' OR http_status >= 500")
+
+    def agg(spark, errs):
+        calls.append("agg")
+        return errs.groupBy("role").agg(F.count(F.lit(1)).alias("n"))
+
+    return [
+        Stage("parse", parse, parents=["transcripts"]),
+        Stage("errors", errors, parents=["parse"]),
+        Stage("agg", agg, parents=["errors"]),
+    ]
+
+
+def test_run_and_resume(spark, ckpt):
+    t = transcripts_table(spark, 6000)
+    calls: list[str] = []
+    p = Pipeline(_build(calls), ckpt, inputs=["transcripts"])
+    res1 = p.run(spark, {"transcripts": t})
+    n1 = res1["agg"].collect()
+    assert calls == ["parse", "errors", "agg"]
+
+    # full resume: nothing recomputes
+    calls.clear()
+    p2 = Pipeline(_build(calls), ckpt, inputs=["transcripts"])
+    res2 = p2.run(spark, {"transcripts": t})
+    assert calls == []
+    assert sorted(map(tuple, res2["agg"].collect())) == sorted(map(tuple, n1))
+
+    # invalidate the middle stage: only it and its descendant rerun
+    calls.clear()
+    p3 = Pipeline(_build(calls), ckpt, inputs=["transcripts"])
+    p3.invalidate("errors", "agg")
+    res3 = p3.run(spark, {"transcripts": t})
+    assert calls == ["errors", "agg"]
+    assert sorted(map(tuple, res3["agg"].collect())) == sorted(map(tuple, n1))
+
+
+def test_manifest_metrics(spark, ckpt):
+    t = transcripts_table(spark, 6000)
+    p = Pipeline(_build([]), ckpt, inputs=["transcripts"])
+    p.run(spark, {"transcripts": t})
+    m = p.manifest()
+    commits = [r for r in m if r["event"] == "commit"]
+    assert [c["stage"] for c in commits] == ["parse", "errors", "agg"]
+    for c in commits:
+        assert c["rows"] == sum(c["partitions"].values())
+        assert c["wall_s"] > 0
+    assert commits[0]["rows"] == 6000
+    assert commits[1]["parents"] == ["parse"]
+
+
+def test_graph_validation(ckpt):
+    with pytest.raises(PipelineGraphError, match="unknown inputs"):
+        Pipeline([Stage("a", lambda s: None, parents=["nope"])], ckpt)
+    with pytest.raises(PipelineGraphError, match="cycle"):
+        Pipeline(
+            [
+                Stage("a", lambda s: None, parents=["b"]),
+                Stage("b", lambda s: None, parents=["a"]),
+            ],
+            ckpt,
+        )
+
+
+def test_lineage_columns(spark):
+    t = transcripts_table(spark, 1000)
+    df = add_lineage(t, source="transcripts", stage="ingest")
+    row = df.select("_source", "_stage").first()
+    assert (row["_source"], row["_stage"]) == ("transcripts", "ingest")
+
+
+def test_salted_repartition_spreads_hot_conv(spark):
+    t = transcripts_table(spark, 60000)
+    # hot conversation = most rows
+    hot = t.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    hot_rows = t.filter(F.col("conv_id") == hot["conv_id"])
+
+    plain = hot_rows.repartition(16, "conv_id")
+    h_plain = [n for _, n in partition_histogram(plain) if n > 0]
+    assert len(h_plain) == 1  # all rows of the key land in ONE partition
+
+    salted = salted_repartition(hot_rows, ["conv_id"], 16, salt_buckets=8)
+    h_salted = [n for _, n in partition_histogram(salted) if n > 0]
+    assert len(h_salted) >= 4  # spread over multiple partitions
+    assert max(h_salted) < hot["count"]
