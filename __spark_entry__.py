@@ -32,12 +32,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from vector_spark.queries import queries as _q
+    import vector_spark.queries  # noqa: F401 — populates the registry
+    import vector_spark.queries_datapipe  # noqa: F401
+
+    from vector_spark.registry import queries as _q
 
     return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    from vector_spark.queries import oracle_sql as _o
+    import vector_spark.queries  # noqa: F401
+    import vector_spark.queries_datapipe  # noqa: F401
+
+    from vector_spark.registry import oracle_sql as _o
 
     return _o()

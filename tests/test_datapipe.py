@@ -1,0 +1,109 @@
+"""Datapipe behavior tests beyond the SQL oracles: LSH recall against
+exact ground truth, simhash near-dup property, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from vector_spark.datapipe.dedup import (
+    hamming_distance,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signatures,
+    simhash,
+)
+from vector_spark.datapipe.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synth_media,
+)
+from vector_spark.datapipe.similarity import ann_topk, cosine_topk
+from vector_spark.queries_datapipe import _dup_df
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    """Every planted perturbed copy (id+2000000) must surface as a
+    high-jaccard pair with its original; exact clones (id+1000000) as
+    jaccard 1.0."""
+    dup = _dup_df(spark, SF_DIR)
+    sigs = minhash_signatures(dup)
+    cand = lsh_candidates(sigs)
+    pairs = jaccard_pairs(dup, cand, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact_ids = [r[0] for r in docs.filter("doc_id % 10 = 0").select("doc_id").collect()]
+    near_ids = [r[0] for r in docs.filter("doc_id % 7 = 0").select("doc_id").collect()]
+
+    exact_hits = sum((i, i + 1000000) in found for i in exact_ids)
+    near_hits = sum((i, i + 2000000) in found for i in near_ids)
+    assert exact_hits / len(exact_ids) == 1.0
+    for i in exact_ids:
+        assert found[(i, i + 1000000)] == 1.0
+    # near dups differ by a 3-word tail: jaccard still ~0.9; LSH with
+    # 4x4 bands should catch nearly all
+    assert near_hits / len(near_ids) >= 0.9
+
+
+def test_simhash_near_dups_are_hamming_close(spark):
+    dup = _dup_df(spark, SF_DIR)
+    sh = simhash(dup)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(
+        (F.col("doc_id") + 2000000).alias("id_a"),
+        F.col("simhash").alias("sh_b"),
+    )
+    joined = a.join(b, "id_a").withColumn(
+        "ham", hamming_distance(F.col("sh_a"), F.col("sh_b"))
+    )
+    stats = joined.agg(F.max("ham"), F.count(F.lit(1))).collect()[0]
+    assert stats[1] > 0
+    assert stats[0] <= 8  # perturbed copies stay within 8/32 bits
+
+
+def test_ann_recall_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ann_topk(emb, queries, k=5, n_planes=4, n_tables=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"ANN recall {recall} too low for 4x8 LSH"
+    # candidates actually restricted: approx scored fewer pairs than brute force
+    assert len(approx_set) <= len(exact_set)
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synth_media(spark, 64)
+    feats = extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["ok"] and r["n_bytes"] > 0 and len(r["feat"]) == 8
+    # deterministic: same input -> same features
+    again = extract_features(media, dim=8).collect()
+    assert sorted(r["feat"] for r in rows) == sorted(r["feat"] for r in again)
+
+
+def test_multimodal_real_decode_is_explicit_stub(spark):
+    import pytest as _pytest
+
+    media = synth_media(spark, 4)
+    with _pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, 30)
+    frames = frame_sample_plan(media, every_ms=500)
+    got = frames.groupBy("media_id").count().collect()
+    durations = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.filter("kind = 'video'").collect()
+    }
+    assert {r["media_id"] for r in got} == set(durations)
+    for r in got:
+        expected = (max(durations[r["media_id"]] - 1, 0)) // 500 + 1
+        assert r["count"] == expected

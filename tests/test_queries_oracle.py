@@ -6,7 +6,9 @@ from __future__ import annotations
 import pytest
 
 from tests.conftest import SF_DIR, assert_frames_match
-from vector_spark.queries import _REGISTRY
+import vector_spark.queries  # noqa: F401 — populate registry
+import vector_spark.queries_datapipe  # noqa: F401
+from vector_spark.registry import _REGISTRY
 
 ORACLED = sorted(k for k, v in _REGISTRY.items() if v[1] is not None)
 

@@ -1,0 +1,26 @@
+"""Training-data pipeline operators: deduplication, similarity search,
+text analysis, multimodal plumbing.
+
+These go beyond the reference's transform set — they are the operations
+a large-scale training-data pipeline needs over the same engine
+(documents/embeddings tables), built Spark-first: shingling and
+hashing with built-in expressions, candidate generation as joins,
+verification as exact set arithmetic; Python only in the Arrow-batched
+multimodal stubs.
+"""
+
+from vector_spark.datapipe.dedup import (  # noqa: F401
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from vector_spark.datapipe.similarity import cosine_topk, hyperplane_lsh_buckets  # noqa: F401
+from vector_spark.datapipe.text import (  # noqa: F401
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)

@@ -1,0 +1,207 @@
+"""Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All hashing is PORTABLE (md5-hex prefix → bigint) so the DuckDB oracle
+can recompute identical signatures — the correctness gate covers the
+whole near-dup pipeline, not just counts.
+
+Scale design:
+- shingling is explode() over built-in `transform(sequence(...))` —
+  no Python, linear in corpus size;
+- MinHash signatures: one groupBy(doc) over exploded shingle hashes
+  with k min() aggregates (map-side combine collapses per-partition);
+- LSH banding: signatures → band keys → self-join per band (the only
+  shuffle that can fan out; band width controls candidate volume);
+- exact Jaccard verification only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+# (a, b) pairs for the k minhash permutations h_j(x) = (a_j*x + b_j) % P
+MINHASH_P = 4294967291
+HASH_MOD = 2147483647  # shingle hash reduced below 2^31 so a*h fits in int64
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    ((j * 2654435761 + 104729) % 1048573 + 1, (j * 97 + 12289) % 1048573)
+    for j in range(16)
+]
+LSH_BANDS = 4  # 4 bands x 4 rows over the 16 signatures
+SIMHASH_BITS = 32
+
+
+def portable_hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash from the md5 hex prefix — identical in
+    Spark (`conv`) and DuckDB (`try_cast('0x...')`)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash60_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`portable_hash60`."""
+    return f"try_cast(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase + collapse whitespace — the canonical form hashed by
+    every dedup variant."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by normalized-text hash; keeps the smallest id.
+    One shuffle on the 60-bit hash (not the full text — cheaper keys at
+    100 TB; md5-prefix collisions are ~2^-30 per pair and acceptable
+    for training-data dedup)."""
+    h = portable_hash60(normalize_text(F.col(text_col)))
+    w = W.partitionBy(h).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Word n-gram shingles, exploded: (id cols..., shingle).
+
+    `transform(sequence(...))` builds the n-grams JVM-side; explode
+    fans out.  Empty/short docs produce zero shingles.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+    return df.withColumn("shingle", F.explode(grams)).drop(text_col)
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (doc, shingle_hash) pairs with the hash reduced mod
+    2^31-1 (so minhash multiplies stay in int64)."""
+    sh = shingles(df, text_col, n)
+    return sh.withColumn(
+        "h", portable_hash60(F.col("shingle")) % HASH_MOD
+    ).drop("shingle")
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """k=16 minhash signatures per doc: groupBy(doc).agg(min(perm_j(h)))."""
+    hashed = shingle_hashes(df, text_col, n).select(id_col, "h").distinct()
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band (4 bands × 4 rows).
+
+    Band key = concat of the band's 4 signatures; self-join per band,
+    dedup across bands.  Output (id_a, id_b) with id_a < id_b.
+    """
+    k = len(MINHASH_COEFFS)
+    rows_per_band = k // LSH_BANDS
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [f"mh{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        key = F.concat_ws("_", F.lit(str(b)), *[F.col(c) for c in cols])
+        bands.append(sigs.select(F.col(id_col), key.alias("band_key")))
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionByName(x)
+    a = all_bands.alias("a")
+    b_ = all_bands.alias("b")
+    pairs = (
+        a.join(b_, "band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for pairs.
+
+    With ``candidates`` (from LSH) only those pairs are verified —
+    the scale path.  Without, all pairs sharing >= 1 shingle are
+    scored (quadratic in shingle-collision volume — small corpora /
+    testing only).
+    """
+    sh = shingle_hashes(df, text_col, n).select(id_col, "h").distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "h")
+    b = sh.select(F.col(id_col).alias("id_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "inner")
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """SimHash fingerprint (32 bits) per doc: per-bit majority vote over
+    shingle hashes, computed via a bit-position cross join (explode of
+    sequence(0,31)) + one groupBy — no Python, no UDF."""
+    hashed = shingle_hashes(df, text_col, n).select(id_col, "h").distinct()
+    # shiftright() in the python API takes a literal count; the SQL
+    # form accepts a column for the shift amount
+    bits = hashed.withColumn(
+        "bit", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)))
+    ).withColumn(
+        "vote",
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1),
+    )
+    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """bit_count(a XOR b) — near-dup test over simhash fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,116 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed
+metadata, processed by Arrow-batched `mapInPandas` operators.
+
+The decode kernels themselves are STUBBED (the image/audio libraries
+are not in this container): `decode_image` raises NotImplementedError
+unless ``fake=True``, in which case a deterministic fake decoder
+produces stable feature values — the Spark-side plumbing (schema,
+batching, partitioning, UDF signatures) is real and tested, and a real
+kernel drops in without touching the plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+#: canonical multimodal schema: opaque payload + typed metadata
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, feat array<float>, ok boolean"
+)
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table: payload = repeated bytes
+    derived from the id (a stand-in for real image/audio blobs)."""
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(
+            F.concat(F.lit("BLOB:"), F.lpad(F.col("id").cast("string"), 8, "0"),
+                     F.repeat(F.lit("x"), (F.col("id") % 50 + 10).cast("int"))),
+            "UTF-8",
+        ).alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        ((F.col("id") % 16 + 1) * 32).cast("int").alias("width"),
+        ((F.col("id") % 9 + 1) * 32).cast("int").alias("height"),
+        (F.col("id") * 40 + 1000).alias("duration_ms"),
+    )
+
+
+def _fake_decode(payload: bytes, dim: int) -> list[float]:
+    """Deterministic fake feature vector from payload bytes."""
+    acc = 2166136261
+    out = []
+    for i in range(dim):
+        for b in payload[i :: dim] or b"\x00":
+            acc = (acc ^ b) * 16777619 % (1 << 32)
+        out.append((acc % 10_000) / 10_000.0)
+    return out
+
+
+def extract_features(
+    df: DataFrame, *, dim: int = 8, fake: bool = True
+) -> DataFrame:
+    """Decode + featurize media payloads via mapInPandas.
+
+    Real decoders (PIL/librosa/ffmpeg) are not available in this
+    container — ``fake=False`` raises NotImplementedError at executor
+    time, documenting exactly where the real kernel plugs in.  Batches
+    arrive as Arrow-backed pandas frames; one python worker per
+    partition, no per-row IPC.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/librosa/ffmpeg; "
+                    "run with fake=True for the deterministic stub"
+                )
+            feats = [
+                _fake_decode(bytes(p) if p is not None else b"", dim)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(bytes(p)) if p is not None else 0 for p in pdf["payload"]],
+                    "feat": feats,
+                    "ok": [p is not None for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling PLAN: one output row per sampled frame
+    timestamp (sequence + explode — pure Spark; the actual frame decode
+    is the stubbed kernel above)."""
+    frames = F.sequence(
+        F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)
+    )
+    return (
+        df.filter(F.col("kind") == "video")
+        .withColumn("frame_ts_ms", F.explode(frames))
+        .select("media_id", "frame_ts_ms", "payload")
+    )

@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: higher-order
+  functions (`zip_with` + `aggregate`) compute the dot product
+  JVM-side; a window takes top-k per query.  The baseline, and the
+  verifier for approximate variants.
+- :func:`hyperplane_lsh_buckets` — random-hyperplane LSH: sign bits
+  against deterministic pseudo-random planes → bucket key; restrict
+  search to bucket collisions.  The 100 TB path: candidates come from
+  an equi-join on bucket, turning O(N*Q) scoring into
+  O(collisions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    Output (query_id, neighbor_id, cos) with deterministic tie-break
+    (rounded cosine desc, neighbor id asc).  The cross join broadcasts
+    the smaller side (queries) — each partition of `vectors` scores
+    against the broadcast query set, no shuffle of the big side.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vv")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_vv")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("_rk").alias("rank"))
+    )
+
+
+def _plane(plane_id: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: LCG over (plane, dim)."""
+    out = []
+    for d in range(dim):
+        x = (plane_id * 2654435761 + d * 1103515245 + 12345) % 2147483647
+        out.append((x / 2147483647.0) * 2.0 - 1.0)
+    return out
+
+
+def hyperplane_lsh_buckets(
+    vectors: DataFrame,
+    *,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Sign-bit bucket keys from fixed hyperplanes, ``n_tables``
+    independent tables (OR-amplification: a pair is a candidate if it
+    collides in ANY table — raises recall without widening buckets).
+
+    Output has one row per (vector, table): bucket = table-prefixed
+    sign-bit key.  With n_tables=1 this is plain single-probe LSH.
+    """
+    rows = []
+    for t in range(n_tables):
+        key = F.lit(0).cast("long")
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(x) for x in _plane(t * 1000 + p, dim)])
+            d = _dot(F.col(vec_col), plane)
+            key = key + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(0)
+        rows.append(
+            vectors.withColumn(
+                bucket_col, F.concat_ws(":", F.lit(str(t)), key.cast("string"))
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only bucket collisions (equi-join on
+    the LSH key over ``n_tables`` tables, deduped) — recall measured
+    against :func:`cosine_topk` in tests."""
+    vb = hyperplane_lsh_buckets(
+        vectors, n_planes=n_planes, n_tables=n_tables, dim=dim, vec_col=vec_col
+    )
+    qb = hyperplane_lsh_buckets(
+        queries, n_planes=n_planes, n_tables=n_tables, dim=dim, vec_col=vec_col
+    )
+    q = qb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "bucket"
+    )
+    v = vb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vv"), "bucket"
+    )
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_qv", "_vv")
+        .dropDuplicates(["query_id", "neighbor_id"])  # collapse multi-table collisions
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_vv")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("_rk").alias("rank"))
+    )

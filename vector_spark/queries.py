@@ -38,27 +38,16 @@ from vector_spark.plans.transcript_pipeline import (
     enriched_transcripts,
 )
 
+from vector_spark.registry import (  # noqa: F401
+    _REGISTRY,
+    QueryFn,
+    oracle_sql,
+    queries,
+    register,
+)
+
 #: the driver compares at sf0.01
 N_ORACLE = 60_000
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-
-
-def register(name: str, oracle: str | None):
-    def deco(fn: QueryFn) -> QueryFn:
-        _REGISTRY[name] = (fn, oracle)
-        return fn
-
-    return deco
-
-
-def queries() -> dict[str, QueryFn]:
-    return {k: v[0] for k, v in _REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
 
 
 # ---------------------------------------------------------------------------

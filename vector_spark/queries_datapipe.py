@@ -1,0 +1,267 @@
+"""Driver-contract queries for the training-data operators
+(documents/embeddings tables), each with a DuckDB oracle generated from
+the SAME constants as the Spark implementation (no drift possible).
+
+DuckDB notes encoded here:
+- regexp_replace needs the 'g' flag (Spark replaces all by default);
+- scalar range(n) yields a list; unnest() explodes it;
+- list indexing is 1-based;
+- md5-hex prefix parses to BIGINT via try_cast('0x...').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vector_spark.datapipe.dedup import (
+    HASH_MOD,
+    LSH_BANDS,
+    MINHASH_COEFFS,
+    MINHASH_P,
+    SIMHASH_BITS,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signatures,
+    simhash,
+)
+from vector_spark.datapipe.similarity import ann_topk, cosine_topk
+from vector_spark.datapipe.text import LANG_MARKERS, TOKEN_PATTERN, analyze_documents
+from vector_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB)
+
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_H60 = "try_cast(concat('0x', substr(md5({e}), 1, 15)) AS BIGINT)"
+
+#: duplicate-injected corpus: every 10th doc cloned exactly (id+1000000),
+#: every 7th doc cloned with a textual perturbation (id+2000000)
+_DUP_CTE = """
+WITH dup AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, concat(text, ' zz perturbed tail') AS text
+  FROM documents WHERE doc_id % 7 = 0
+)"""
+
+_SHINGLE_CTE = f""",
+norm AS (SELECT doc_id, {_NORM} AS t FROM dup),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(greatest(len(ws) - 2, 0)),
+                i -> concat(ws[i + 1], ' ', ws[i + 2], ' ', ws[i + 3]))) AS shingle
+  FROM w
+),
+sh AS (
+  SELECT DISTINCT doc_id, {_H60.format(e='shingle')} % {HASH_MOD} AS h FROM grams
+)"""
+
+
+def _dup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    exact = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz perturbed tail")))
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+@register(
+    "doc_exact_dedup",
+    _DUP_CTE
+    + f""",
+h AS (SELECT doc_id, {_H60.format(e=_NORM)} AS hh FROM dup),
+rn AS (SELECT doc_id, row_number() OVER (PARTITION BY hh ORDER BY doc_id) AS rn FROM h)
+SELECT doc_id FROM rn WHERE rn = 1""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_dup_df(spark, sf_dir)).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# minhash signatures + LSH candidates + verified near-dup pairs
+
+
+def _sig_sql() -> str:
+    aggs = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    return f",\nsigs AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id)"
+
+
+def _bands_sql() -> str:
+    rows = len(MINHASH_COEFFS) // LSH_BANDS
+    parts = []
+    for b in range(LSH_BANDS):
+        cols = ", ".join(f"mh{j}" for j in range(b * rows, (b + 1) * rows))
+        parts.append(
+            f"SELECT doc_id, concat_ws('_', '{b}', {cols}) AS band_key FROM sigs"
+        )
+    return ",\nbands AS (" + " UNION ALL ".join(parts) + ")"
+
+
+_CAND_SQL = """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+)"""
+
+_JACCARD_SQL = """,
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b USING (h)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         round(i / (za.sz + zb.sz - i), 6) AS jaccard
+  FROM cand c
+  JOIN inter USING (id_a, id_b)
+  JOIN sz za ON za.doc_id = c.id_a
+  JOIN sz zb ON zb.doc_id = c.id_b
+)"""
+
+
+@register(
+    "doc_minhash_lsh_pairs",
+    _DUP_CTE + _SHINGLE_CTE + _sig_sql() + _bands_sql() + _CAND_SQL
+    + _JACCARD_SQL
+    + "\nSELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = _dup_df(spark, sf_dir)
+    sigs = minhash_signatures(dup)
+    cand = lsh_candidates(sigs)
+    return jaccard_pairs(dup, cand, threshold=0.5)
+
+
+@register(
+    "doc_minhash_signatures",
+    _DUP_CTE + _SHINGLE_CTE + _sig_sql()
+    + "\nSELECT doc_id, "
+    + ", ".join(f"mh{j}" for j in range(len(MINHASH_COEFFS)))
+    + " FROM sigs",
+)
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_dup_df(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+
+@register(
+    "doc_simhash",
+    _DUP_CTE + _SHINGLE_CTE
+    + f""",
+bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM sh CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS bit)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_dup_df(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def _langid_sql() -> str:
+    """Nested CASE replicating text.lang_id's argmax-with-first-wins."""
+    hits = {
+        lang: (
+            "len(list_filter(string_split({norm}, ' '), "
+            f"x -> x IN ({', '.join(repr(m) for m in LANG_MARKERS[lang])})))"
+        ).format(norm=_NORM)
+        for lang in sorted(LANG_MARKERS)
+    }
+    # iterative argmax: best = lang if hits > best_hits
+    expr_lang, expr_hits = "'und'", "0"
+    for lang in sorted(LANG_MARKERS):
+        h = hits[lang]
+        expr_lang = f"CASE WHEN {h} > {expr_hits} THEN '{lang}' ELSE {expr_lang} END"
+        expr_hits = f"CASE WHEN {h} > {expr_hits} THEN {h} ELSE {expr_hits} END"
+    return expr_lang
+
+
+@register(
+    "doc_text_analysis",
+    f"""
+SELECT doc_id,
+  len(string_split({_NORM}, ' ')) AS n_tokens,
+  len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens_bpe,
+  round((
+    CASE WHEN length(text) >= 20 AND length(text) <= 20000 THEN 1 ELSE 0 END +
+    CASE WHEN length(text) / greatest(len(string_split({_NORM}, ' ')), 1) >= 2.0
+          AND length(text) / greatest(len(string_split({_NORM}, ' ')), 1) <= 12.0
+         THEN 1 ELSE 0 END +
+    CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) <= 0.2
+         THEN 1 ELSE 0 END) / 3.0, 6) AS quality,
+  {_langid_sql()} AS pred_lang,
+  {_H60.format(e=_NORM)} AS fingerprint
+FROM documents""",
+)
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return analyze_documents(docs).select(
+        "doc_id", "n_tokens", "n_tokens_bpe", "quality", "pred_lang",
+        "fingerprint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+
+
+@register(
+    "emb_cosine_topk",
+    """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+v AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS vv FROM embeddings),
+s AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         round(list_dot_product(qv, vv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))), 6) AS cos
+  FROM v CROSS JOIN q WHERE nid <> qid
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 10""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=10)
+
+
+@register("emb_ann_topk", None)  # approximate — verified by recall test, not SQL
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_topk(emb, queries, k=10)
