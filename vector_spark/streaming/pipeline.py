@@ -1,0 +1,158 @@
+"""Structured Streaming variants of the pipeline.
+
+The reference is a streaming engine with PROCESSING-time flushes
+(aggregate interval ticks, reduce staleness polls — SURVEY §2.8); the
+Spark re-expression uses event-time windows + watermarks, which is
+strictly stronger (deterministic, late-data-aware — the reference
+merges late events only if their group is still open).
+
+Mapping:
+- source checkpoints (file fingerprints / kafka offsets,
+  lib/file-source-common/src/checkpointer.rs:44-60) → readStream
+  source offsets + checkpointLocation
+- aggregate interval_ms flush → window(ts, interval) + watermark
+- reduce expire_after_ms session flush → session_window(ts, gap)
+- stateful Task transforms → applyInPandasWithState
+- acked delivery → foreachBatch + idempotent table commit
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def stream_transcripts(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def streaming_sink_stats(
+    spark: SparkSession,
+    stream: DataFrame,
+    *,
+    interval_sec: int = 60,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """The parse→enrich→route-tag→windowed-agg DAG over a stream —
+    identical operators to plans.transcript_pipeline.pipeline_stats,
+    with an event-time watermark bounding state."""
+    from vector_spark.data.lookup import tool_lookup_df
+    from vector_spark.enrich import enrich
+    from vector_spark.functions.parse import parse_transcripts
+    from vector_spark.operators.route import route_tag_column
+    from vector_spark.plans.transcript_pipeline import FLAT_COLS, ROUTES
+
+    parsed = parse_transcripts(stream)
+    enriched = enrich(parsed, tool_lookup_df(spark), ["tool", "role"], strict=False)
+    flat = enriched.select(*FLAT_COLS, "parse_ok", "parsed.*")
+    tags = F.when(
+        F.col("parse_ok"), route_tag_column(ROUTES, reroute_unmatched=True)
+    ).otherwise(F.array(F.lit("_dropped")))
+    exploded = flat.withColumn("sink", F.explode(tags))
+    return (
+        exploded.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{interval_sec} seconds"), F.col("sink"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("http_bytes").alias("sum_bytes"),
+            F.sum("latency_ms").alias("sum_latency"),
+            F.approx_count_distinct("conv_id").alias("n_convs_approx"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"), "sink", "n",
+            "sum_bytes", "sum_latency", "n_convs_approx",
+        )
+    )
+
+
+def session_reduce_stream(
+    stream: DataFrame,
+    *,
+    gap_sec: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """reduce's session flush (expire_after_ms) as a native
+    session_window aggregation: a conversation's events merge while
+    gaps stay under ``gap_sec``."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_sec} seconds"), F.col("conv_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_turns", "first_turn", "last_turn",
+        )
+    )
+
+
+_STATE_SCHEMA = "total long"
+_OUT_SCHEMA = "role string, batch_rows long, running_total long"
+
+
+def _count_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    batch = sum(len(p) for p in pdfs)
+    total = (state.get[0] if state.exists else 0) + batch
+    state.update((total,))
+    yield pd.DataFrame(
+        {"role": [key[0]], "batch_rows": [batch], "running_total": [total]}
+    )
+
+
+def stateful_running_count(stream: DataFrame, key: str = "role") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState — the
+    analogue of the reference's stateful Task transforms (per-key state
+    living across batches, e.g. incremental_to_absolute's normalizer
+    cache).  Emits (key, batch_rows, running_total) per micro-batch."""
+    return stream.groupBy(key).applyInPandasWithState(
+        _count_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    name: str,
+    *,
+    output_mode: str = "complete",
+) -> Any:
+    """Drive a streaming frame to completion into an in-memory table
+    (smoke-test harness: processAllAvailable + stop)."""
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
