@@ -84,7 +84,7 @@ def main() -> None:
     def _parse(engine: str):
         def run() -> None:
             df = parse_transcripts(transcripts, engine=engine)
-            df.groupBy("parsed.format").agg(
+            df.groupBy("format").agg(
                 F.count(F.lit(1)), F.sum("parsed.http_bytes"),
                 F.sum("parsed.latency_ms"),
             ).collect()

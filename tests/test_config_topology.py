@@ -1,0 +1,143 @@
+"""Config-driven topology — the Vector-config-style declarative DAG,
+mirroring the reference's behavior tests
+(/root/reference/tests/behavior/transforms/route.yaml:25-66 style
+assertions: per-port extraction + clone-per-match + _unmatched)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.config import ConfigError, build_topology, run_topology
+
+OUT = "/tmp/vector_spark_test_topology"
+
+
+@pytest.fixture
+def outdir():
+    shutil.rmtree(OUT, ignore_errors=True)
+    yield OUT
+    shutil.rmtree(OUT, ignore_errors=True)
+
+
+BASE = {
+    "sources": {"in": {"type": "transcripts", "n_turns": 6000}},
+    "transforms": {
+        "parsed": {"type": "remap", "inputs": ["in"]},
+        "enriched": {
+            "type": "enrich", "inputs": ["parsed"],
+            "table": "tool_lookup", "keys": ["tool", "role"],
+        },
+        "routed": {
+            "type": "route", "inputs": ["enriched"],
+            "routes": {
+                "errors": "level = 'error' OR http_status >= 500",
+                "tools": "role = 'tool' AND tool <> 'none'",
+            },
+        },
+        "error_agg": {
+            "type": "aggregate", "inputs": ["routed.errors"],
+            "keys": ["role"], "specs": {"n": ["count", "*"]},
+            "interval_secs": 3600,
+        },
+    },
+}
+
+
+def test_route_ports_and_clone_per_match(spark):
+    res = build_topology(spark, BASE)
+    parsed = res["parsed"]
+    errors = res["routed"]["errors"]
+    tools = res["routed"]["tools"]
+    unmatched = res["routed"]["_unmatched"]
+    n_parsed = parsed.count()
+    # non-exclusive: clone-per-match means port counts can exceed input
+    assert errors.count() + tools.count() + unmatched.count() >= n_parsed
+    # route equality per port
+    assert errors.exceptAll(
+        res["enriched"].filter("level = 'error' OR http_status >= 500")
+    ).count() == 0
+    # dropped port of remap carries the garbage rows
+    dropped = res["parsed.dropped"]
+    assert dropped.filter(~F.col("text").startswith("~~#")).count() == 0
+    assert dropped.count() + n_parsed == 6000
+
+
+def test_port_addressing_errors(spark):
+    bad = {
+        "sources": {"in": {"type": "transcripts", "n_turns": 1000}},
+        "transforms": {
+            "routed": {"type": "route", "inputs": ["in"],
+                       "routes": {"a": "turn_idx > 5"}},
+            "agg": {"type": "aggregate", "inputs": ["routed"],
+                    "keys": [], "specs": {"n": ["count", "*"]}},
+        },
+    }
+    with pytest.raises(ConfigError, match="has ports"):
+        build_topology(spark, bad)
+    bad2 = dict(BASE, transforms={
+        "x": {"type": "filter", "inputs": ["nonexistent"], "condition": "1=1"}
+    })
+    with pytest.raises(ConfigError, match="unknown input"):
+        build_topology(spark, bad2)
+
+
+def test_cycle_detection(spark):
+    cfg = {
+        "sources": {"in": {"type": "transcripts", "n_turns": 1000}},
+        "transforms": {
+            "a": {"type": "filter", "inputs": ["b"], "condition": "1=1"},
+            "b": {"type": "filter", "inputs": ["a"], "condition": "1=1"},
+        },
+    }
+    with pytest.raises(ConfigError, match="cycle"):
+        build_topology(spark, cfg)
+
+
+def test_end_to_end_run_with_sinks(spark, outdir):
+    cfg = dict(BASE)
+    cfg["sinks"] = {
+        "errors_out": {"type": "parquet", "inputs": ["routed.errors"],
+                       "path": f"{OUT}/errors"},
+        "agg_out": {"type": "parquet", "inputs": ["error_agg"],
+                    "path": f"{OUT}/agg"},
+        "drop_count": {"type": "blackhole", "inputs": ["parsed.dropped"]},
+        "both": {"type": "blackhole",
+                 "inputs": ["routed.errors", "routed.tools"]},
+    }
+    counts = run_topology(spark, cfg)
+    res = build_topology(spark, BASE)
+    assert counts["errors_out"] == res["routed"]["errors"].count()
+    assert counts["drop_count"] == res["parsed.dropped"].count()
+    # multi-input sink = union of both ports (glob-expansion semantics)
+    assert counts["both"] == (
+        res["routed"]["errors"].count() + res["routed"]["tools"].count()
+    )
+    written = spark.read.parquet(f"{OUT}/agg")
+    assert written.count() == counts["agg_out"] and written.count() > 0
+
+
+def test_multi_transform_chain(spark):
+    cfg = {
+        "sources": {"in": {"type": "transcripts", "n_turns": 6000}},
+        "transforms": {
+            "sampled": {"type": "sample", "inputs": ["in"], "rate": 5,
+                        "key_field": "conv_id"},
+            "sessions": {"type": "sessionize", "inputs": ["in"],
+                         "group_by": ["conv_id"], "gap_secs": 600},
+            "collapsed": {
+                "type": "reduce", "inputs": ["in"], "group_by": ["conv_id"],
+                "strategies": {"all_text": ["concat_newline", "text"],
+                               "n": ["count", "text"]},
+            },
+            "deduped": {"type": "dedupe", "inputs": ["in"],
+                        "match": ["conv_id", "turn_idx"]},
+        },
+    }
+    res = build_topology(spark, cfg)
+    assert res["deduped"].count() == 6000  # input has no dup keys
+    assert res["collapsed"].columns == ["conv_id", "all_text", "n", "ts", "ts_end"]
+    assert res["sessions"].select("session_id").distinct().count() >= 1
+    assert 0 < res["sampled"].count() < 6000

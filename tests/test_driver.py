@@ -29,7 +29,7 @@ def _build(calls):
         from vector_spark.functions.parse import parse_transcripts
 
         return parse_transcripts(t).select(
-            "conv_id", "turn_idx", "role", "tool", "ts", "parse_ok", "parsed.*"
+            "conv_id", "turn_idx", "role", "tool", "ts", "format", "parse_ok", "parsed.*"
         )
 
     def errors(spark, parsed):

@@ -1,0 +1,127 @@
+"""Operator edge semantics not covered by the oracle queries:
+enrichment date-range + single-row contract, reduce merge strategies,
+sample/throttle exclude bypass, incremental_to_absolute mixed kinds."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.enrich import EnrichmentError, assert_unique_key, enrich
+from vector_spark.operators import (
+    incremental_to_absolute,
+    reduce_events,
+    sample,
+    throttle,
+)
+
+
+def test_enrich_date_range(spark):
+    """BetweenDates condition variant
+    (/root/reference/lib/vector-vrl/enrichment/src/lib.rs:24-43)."""
+    fact = spark.createDataFrame(
+        [
+            ("search", "user", dt.datetime(2026, 3, 1)),
+            ("search", "user", dt.datetime(2027, 3, 1)),  # outside validity
+        ],
+        "tool string, role string, ts timestamp",
+    )
+    lookup = spark.createDataFrame(
+        [("search", "user", "retrieval",
+          dt.datetime(2026, 1, 1), dt.datetime(2026, 12, 31))],
+        "tool string, role string, team string, valid_from timestamp, valid_to timestamp",
+    )
+    out = enrich(fact, lookup, ["tool", "role"], date_col="ts").orderBy("ts").collect()
+    assert out[0]["team"] == "retrieval"
+    assert out[1]["team"] is None  # NoRowsFound → null enrichment
+
+
+def test_enrich_more_than_one_row_found(spark):
+    lookup = spark.createDataFrame(
+        [("a", "x"), ("a", "y")], "k string, v string"
+    )
+    with pytest.raises(EnrichmentError, match="MoreThanOneRowFound"):
+        assert_unique_key(lookup, ["k"])
+    # strict enrich refuses to run with a duplicated key
+    fact = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(EnrichmentError):
+        enrich(fact, lookup, ["k"], strict=True)
+
+
+def test_reduce_array_strategies(spark):
+    df = spark.createDataFrame(
+        [
+            ("g", 0, ["a", "b"], 1.5, dt.datetime(2026, 1, 1)),
+            ("g", 1, ["c"], 2.5, dt.datetime(2026, 1, 2)),
+            ("g", 2, ["a", "d"], 3.0, dt.datetime(2026, 1, 3)),
+        ],
+        "k string, ord int, arr array<string>, x double, ts timestamp",
+    )
+    out = reduce_events(
+        df,
+        ["k"],
+        {
+            "shortest": ("shortest_array", "arr"),
+            "longest": ("longest_array", "arr"),
+            "flat": ("flat_unique", "arr"),
+            "total": ("sum", "x"),
+            "first_arr": ("discard", "arr"),
+            "last_arr": ("retain", "arr"),
+            "joined": ("concat_raw", "k"),
+        },
+        ord_col="ord",
+    ).collect()[0]
+    assert out["shortest"] == ["c"]
+    assert out["longest"] in (["a", "b"], ["a", "d"])
+    assert sorted(out["flat"]) == ["a", "b", "c", "d"]
+    assert out["total"] == 7.0
+    assert out["first_arr"] == ["a", "b"] and out["last_arr"] == ["a", "d"]
+    assert out["joined"] == "ggg"
+    assert out["ts"] == dt.datetime(2026, 1, 1) and out["ts_end"] == dt.datetime(2026, 1, 3)
+
+
+def test_sample_exclude_bypass(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 2 == 0).alias("keep_me")
+    )
+    out = sample(df, rate=10, key_field="id", exclude=F.col("keep_me"))
+    rows = out.collect()
+    # every excluded (bypass) row survives regardless of the hash
+    assert sum(r["keep_me"] for r in rows) == 500
+    assert all(r["sample_rate"] == 10 for r in rows)
+    # consistent: same key -> same decision on rerun
+    again = sample(df, rate=10, key_field="id", exclude=F.col("keep_me")).collect()
+    assert sorted(r["id"] for r in rows) == sorted(r["id"] for r in again)
+
+
+def test_throttle_exclude_and_cap(spark):
+    df = spark.createDataFrame(
+        [("k", i, dt.datetime(2026, 1, 1, 0, 0, i)) for i in range(20)],
+        "key string, i int, ts timestamp",
+    )
+    out = throttle(df, threshold=3, window_sec=3600, key_fields=["key"],
+                   order_by=["ts", "i"])
+    assert out.count() == 3
+    out2 = throttle(df, threshold=3, window_sec=3600, key_fields=["key"],
+                    order_by=["ts", "i"], exclude=F.col("i") >= 18)
+    assert out2.count() == 5  # 3 admitted + 2 bypassed
+
+
+def test_incremental_to_absolute_mixed_kinds(spark):
+    rows = [
+        ("c", "ns", "incremental", 1.0, dt.datetime(2026, 1, 1, 0, 0, 0)),
+        ("c", "ns", "incremental", 2.0, dt.datetime(2026, 1, 1, 0, 0, 1)),
+        ("g", "ns", "absolute", 10.0, dt.datetime(2026, 1, 1, 0, 0, 0)),
+        ("c", "ns", "incremental", 4.0, dt.datetime(2026, 1, 1, 0, 0, 2)),
+        ("g", "ns", "absolute", 7.0, dt.datetime(2026, 1, 1, 0, 0, 3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, namespace string, kind string, value double, ts timestamp"
+    )
+    out = incremental_to_absolute(df, ["name", "namespace"])
+    got = {(r["name"], r["ts"].second): r["value"] for r in out.collect()}
+    assert got[("c", 0)] == 1.0 and got[("c", 1)] == 3.0 and got[("c", 2)] == 7.0
+    assert got[("g", 0)] == 10.0 and got[("g", 3)] == 7.0  # absolutes pass through
+    assert all(r["kind"] == "absolute" for r in out.collect())

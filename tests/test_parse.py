@@ -14,7 +14,7 @@ N = 6000
 
 
 def _flatten(df):
-    return df.select("conv_id", "turn_idx", "parsed.*", "parse_ok")
+    return df.select("conv_id", "turn_idx", "format", "parsed.*", "parse_ok")
 
 
 def test_grok_compiler():
@@ -48,4 +48,4 @@ def test_error_channel(spark):
     assert dropped.filter(~F.col("text").startswith("~~#")).count() == 0
     assert dropped.columns[-2:] == ["_dropped_reason", "_dropped_component"]
     # no parsed rows lost fields: every ok row has a format
-    assert ok.filter(F.col("parsed.format").isNull()).count() == 0
+    assert ok.filter(F.col("format").isNull()).count() == 0

@@ -1,0 +1,84 @@
+"""Physical-plan quality gates: the plans we ship are the plans we
+mean.  Catches regressions where a filter stops pushing down, a
+broadcast silently becomes a sort-merge join, or an extra shuffle
+appears (at 100 TB each of these is the difference between a job that
+finishes and one that doesn't)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_spark.data.transcripts import transcripts_table
+from vector_spark.plans.transcript_pipeline import (
+    enriched_transcripts,
+    pipeline_stats,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    t = transcripts_table(spark, 6000)
+    df = t.filter(F.col("conv_id") == "conv-00000001").select("conv_id", "turn_idx")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(conv_id), EqualTo(conv_id,conv-00000001)" in plan
+
+
+def test_column_pruning(spark):
+    t = transcripts_table(spark, 6000)
+    plan = _plan(t.select("conv_id", "turn_idx"))
+    # scan must not read the wide text column for a 2-column projection
+    assert "ReadSchema: struct<conv_id:string,turn_idx:int>" in plan
+
+
+def test_enrich_is_broadcast_join(spark):
+    out, _ = enriched_transcripts(spark, transcripts_table(spark, 6000))
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_stats_shuffle_budget(spark):
+    df = pipeline_stats(spark, transcripts_table(spark, 6000))
+    plan = _plan(df)
+    # two exchanges exactly: the two-phase exact-distinct aggregation
+    # (partial on (sink, window, conv_id), final on (sink, window));
+    # parse, enrich (broadcast) and explode are all narrow
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, f"expected 2 shuffles, plan has {n_exchanges}"
+    assert "Exchange hashpartitioning(sink" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_parse_scan_is_columnar(spark):
+    """from_csv/from_json are CodegenFallback expressions, so the parse
+    projection itself runs outside whole-stage codegen — but the scan
+    underneath must stay columnar-batched and prune to (conv_id, text),
+    and non-parse plans keep codegen."""
+    from vector_spark.functions.parse import parse_transcripts
+
+    t = transcripts_table(spark, 6000)
+    df = parse_transcripts(t).select("conv_id", "parsed.http_status")
+    plan = _plan(df)
+    assert "ColumnarToRow" in plan and "Batched: true" in plan
+    import re
+    assert re.search(r"FileScan parquet \[conv_id#\d+,text#\d+\]", plan)
+    assert _plan(t.filter("turn_idx > 3")).startswith("*(")  # codegen marker
+
+
+def test_parse_not_reevaluated_per_field(spark):
+    """The parsed struct must appear ONCE in the optimized plan —
+    repeated from_csv/from_json per extracted field was a 5x
+    regression (see BASELINE.md scaling lessons)."""
+    from vector_spark.functions.parse import parse_transcripts
+
+    df = parse_transcripts(transcripts_table(spark, 6000)).select(
+        "conv_id", "parsed.http_status", "parsed.http_bytes",
+        "parsed.level", "parsed.latency_ms",
+    )
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("from_csv") <= 1, "from_csv inlined per field"
+    assert optimized.count("from_json") <= 1, "from_json inlined per field"

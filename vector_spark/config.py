@@ -1,0 +1,255 @@
+"""Config-driven topology: a Vector-style declarative pipeline spec
+compiled onto the operator library.
+
+Mirrors the reference's config lifecycle (SURVEY §3.1):
+sources/transforms/sinks with ``inputs`` edges
+(/root/reference/src/config/compiler.rs:11-164), multi-output
+components addressed as ``name.port``
+(/root/reference/src/transforms/route.rs:64-92 port naming), cycle and
+unknown-input validation (/root/reference/src/config/graph.rs:244-318).
+The compiled topology is a dict of lazy DataFrames — Catalyst is the
+physical planner; running the sinks triggers execution.
+
+Supported component types map 1:1 to SURVEY §2 operators:
+
+sources:    parquet | csv | json | text (with codec) | transcripts
+transforms: remap(parse) | filter | route | exclusive_route | sample |
+            throttle | dedupe | reduce | aggregate | window | enrich |
+            log_to_metric | metric_to_log | incremental_to_absolute |
+            tag_cardinality_limit | sessionize | lineage
+sinks:      parquet | csv | json | console | blackhole
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vector_spark.operators import (
+    aggregate,
+    context_window,
+    dedupe,
+    exclusive_route,
+    filter_events,
+    incremental_to_absolute,
+    log_to_metric,
+    metric_to_log,
+    reduce_events,
+    route,
+    sample,
+    sessionize,
+    tag_cardinality_limit,
+    throttle,
+)
+from vector_spark.plans.driver import add_lineage
+
+
+class ConfigError(ValueError):
+    pass
+
+
+class PortAddressError(ConfigError):
+    """Permanent addressing mistake (vs a dependency not built yet)."""
+
+
+def _resolve_input(results: dict[str, Any], ref: str) -> DataFrame:
+    """``name`` or ``name.port`` (multi-output components)."""
+    if ref in results:
+        out = results[ref]
+        if isinstance(out, dict):
+            raise PortAddressError(
+                f"component {ref!r} has ports {sorted(out)}; "
+                f"address one as '{ref}.<port>'"
+            )
+        return out
+    if "." in ref:
+        name, port = ref.rsplit(".", 1)
+        if name in results and isinstance(results[name], dict):
+            ports = results[name]
+            if port not in ports:
+                raise PortAddressError(f"{name!r} has no port {port!r} "
+                                       f"(have {sorted(ports)})")
+            return ports[port]
+    raise ConfigError(f"unknown input {ref!r}")
+
+
+def _union_inputs(results: dict[str, Any], refs: list[str]) -> DataFrame:
+    """Multiple ``inputs`` union into one stream, as in the reference
+    (compiler.rs:166-193 glob expansion feeds one component)."""
+    dfs = [_resolve_input(results, r) for r in refs]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _build_source(spark: SparkSession, cfg: dict) -> DataFrame:
+    typ = cfg["type"]
+    if typ == "transcripts":
+        from vector_spark.data.transcripts import transcripts_table
+
+        return transcripts_table(spark, cfg.get("n_turns", 6000))
+    if typ in ("parquet", "csv", "json"):
+        from vector_spark.sources.readers import read_source
+
+        return read_source(spark, typ, cfg["path"], cfg.get("schema"))
+    if typ == "text":
+        from vector_spark.sources.readers import read_text_decoded
+
+        return read_text_decoded(
+            spark, cfg["path"], cfg.get("codec", "bytes"), cfg.get("schema")
+        )
+    raise ConfigError(f"unknown source type {typ!r}")
+
+
+def _build_transform(
+    spark: SparkSession, cfg: dict, inp: DataFrame
+) -> DataFrame | dict[str, DataFrame]:
+    typ = cfg["type"]
+    if typ == "remap":
+        from vector_spark.functions.parse import parse_transcripts, split_errors
+
+        parsed = parse_transcripts(inp, engine=cfg.get("engine", "jvm"))
+        ok, dropped = split_errors(parsed)
+        if cfg.get("flatten", True):
+            keep = [c for c in inp.columns if c != "text"]
+            ok = ok.select(*keep, "format", "parsed.*")
+        # remap's main + dropped output ports (remap.rs:50)
+        return {"__default__": ok, "dropped": dropped}
+    if typ == "filter":
+        return filter_events(inp, cfg["condition"])
+    if typ == "route":
+        out = route(inp, cfg["routes"],
+                    reroute_unmatched=cfg.get("reroute_unmatched", True))
+        return out
+    if typ == "exclusive_route":
+        return exclusive_route(inp, [tuple(r) for r in cfg["routes"]])
+    if typ == "sample":
+        return sample(inp, cfg["rate"], cfg.get("key_field"),
+                      group_by=cfg.get("group_by"),
+                      exclude=cfg.get("exclude"))
+    if typ == "throttle":
+        return throttle(inp, cfg["threshold"], cfg["window_secs"],
+                        cfg.get("key_fields"), exclude=cfg.get("exclude"))
+    if typ == "dedupe":
+        return dedupe(inp, match=cfg.get("match"), ignore=cfg.get("ignore"))
+    if typ == "reduce":
+        return reduce_events(
+            inp, cfg["group_by"],
+            {k: tuple(v) for k, v in cfg["strategies"].items()},
+            ord_col=cfg.get("ord_col", "turn_idx"),
+        )
+    if typ == "aggregate":
+        return aggregate(
+            inp, cfg.get("keys", []),
+            {k: tuple(v) for k, v in cfg["specs"].items()},
+            interval_sec=cfg.get("interval_secs", 60),
+        )
+    if typ == "window":
+        return context_window(
+            inp, cfg["flush_when"],
+            group_by=cfg.get("group_by", ["conv_id"]),
+            order_by=cfg.get("order_by", ["turn_idx"]),
+            before=cfg.get("num_events_before", 100),
+            after=cfg.get("num_events_after", 0),
+            forward_when=cfg.get("forward_when"),
+        )
+    if typ == "enrich":
+        from vector_spark.enrich import enrich
+
+        if cfg.get("table") == "tool_lookup":
+            from vector_spark.data.lookup import tool_lookup_df
+
+            lookup = tool_lookup_df(spark)
+        else:
+            from vector_spark.enrich import load_csv_lookup
+
+            lookup = load_csv_lookup(spark, cfg["path"], cfg["schema"])
+        return enrich(inp, lookup, cfg["keys"],
+                      date_col=cfg.get("date_col"),
+                      strict=cfg.get("strict", False))
+    if typ == "log_to_metric":
+        return log_to_metric(inp, cfg["rules"])
+    if typ == "metric_to_log":
+        return metric_to_log(inp)
+    if typ == "incremental_to_absolute":
+        return incremental_to_absolute(inp, cfg.get("series_keys", ["name", "namespace"]))
+    if typ == "tag_cardinality_limit":
+        return tag_cardinality_limit(
+            inp, cfg["tags"], cfg.get("value_limit", 500),
+            action=cfg.get("action", "drop_tag"),
+        )
+    if typ == "sessionize":
+        return sessionize(inp, cfg["group_by"], gap_sec=cfg.get("gap_secs", 30))
+    if typ == "lineage":
+        return add_lineage(inp, cfg.get("source", "?"), cfg.get("stage", "?"))
+    raise ConfigError(f"unknown transform type {typ!r}")
+
+
+def build_topology(
+    spark: SparkSession, config: dict
+) -> dict[str, DataFrame | dict[str, DataFrame]]:
+    """Compile the config into lazy frames, keyed by component name.
+
+    Multi-output transforms yield a dict of ports; their default port
+    is addressable by the bare name.
+    """
+    results: dict[str, Any] = {}
+    for name, cfg in config.get("sources", {}).items():
+        results[name] = _build_source(spark, cfg)
+
+    transforms = dict(config.get("transforms", {}))
+    remaining = dict(transforms)
+    progress = True
+    while remaining and progress:
+        progress = False
+        for name in list(remaining):
+            cfg = remaining[name]
+            try:
+                inp = _union_inputs(results, cfg["inputs"])
+            except PortAddressError:
+                raise
+            except ConfigError:
+                continue  # dependency not built yet
+            out = _build_transform(spark, cfg, inp)
+            if isinstance(out, dict) and "__default__" in out:
+                results[name] = out["__default__"]
+                for port, df in out.items():
+                    if port != "__default__":
+                        results[f"{name}.{port}"] = df
+            else:
+                results[name] = out
+            del remaining[name]
+            progress = True
+    if remaining:
+        # distinguish cycles (inputs name a transform that never built)
+        # from typos (inputs name nothing at all)
+        name = sorted(remaining)[0]
+        for ref in remaining[name]["inputs"]:
+            base = ref.split(".", 1)[0]
+            if base in transforms:
+                raise ConfigError(f"cycle involving {sorted(remaining)}")
+        _union_inputs(results, remaining[name]["inputs"])  # raises ConfigError
+    return results
+
+
+def run_topology(spark: SparkSession, config: dict) -> dict[str, int]:
+    """Build + execute every sink; returns per-sink row counts
+    (the per-sink count parity surface)."""
+    from vector_spark.sources.sinks import blackhole, console, write_sink
+
+    results = build_topology(spark, config)
+    counts: dict[str, int] = {}
+    for name, cfg in config.get("sinks", {}).items():
+        df = _union_inputs(results, cfg["inputs"])
+        typ = cfg["type"]
+        if typ == "blackhole":
+            counts[name] = blackhole(df)
+        elif typ == "console":
+            console(df, cfg.get("n", 20))
+            counts[name] = df.count()
+        else:
+            write_sink(df, cfg["path"], fmt=typ, mode=cfg.get("mode", "overwrite"))
+            counts[name] = spark.read.format(typ).load(cfg["path"]).count()
+    return counts

@@ -47,8 +47,10 @@ LOGFMT_CODE = r"code=(E\d{3})"
 LOGFMT_RETRY = r"retry=(true|false)"
 LOGFMT_MSG = r'msg="([^"]*)"'
 
+#: `format` lives OUTSIDE this struct (own column): keeping it inside
+#: forced a withField over from_json, which the optimizer expands into
+#: one from_json evaluation PER FIELD (~12x JSON parse cost per row)
 _PARSED_FIELDS: list[tuple[str, T.DataType]] = [
-    ("format", T.StringType()),
     ("client_ip", T.StringType()),
     ("username", T.StringType()),
     ("log_time", T.StringType()),
@@ -109,6 +111,15 @@ _APACHE_REPL = SEP.join(
 )
 
 
+def detect_format(text: Column) -> Column:
+    """Cheap format discriminator — the `format` column."""
+    return (
+        F.when(text.rlike(APACHE_ANCHORED), "apache")
+        .when(text.startswith('{"'), "json")
+        .when(text.startswith("level="), "logfmt")
+    )
+
+
 def parsed_column_jvm(text: Column) -> Column:
     """The `parsed` struct computed entirely with built-in functions.
 
@@ -125,19 +136,17 @@ def parsed_column_jvm(text: Column) -> Column:
     is_logfmt = text.startswith("level=")
 
     apache_packed = F.concat(
-        F.lit("apache" + SEP),
         F.regexp_replace(text, APACHE_ANCHORED, _APACHE_REPL),
         F.lit(SEP * 6),  # level..retry slots are null
     )
     apache = F.from_csv(apache_packed, _CSV_SCHEMA, _CSV_OPTS)
 
-    json_struct = F.from_json(text, PARSED_SCHEMA).withField(
-        "format", F.lit("json")
-    )
+    # PARSED_SCHEMA carries no `format`, so from_json is used verbatim
+    # (one evaluation; a withField here re-expands per extracted field)
+    json_struct = F.from_json(text, PARSED_SCHEMA)
 
     null_s = F.lit(None).cast("string")
     logfmt = F.struct(
-        F.lit("logfmt").alias("format"),
         null_s.alias("client_ip"),
         null_s.alias("username"),
         null_s.alias("log_time"),
@@ -200,10 +209,6 @@ def _make_pandas_parser():
         lf_retry = text.str.extract(LOGFMT_RETRY, expand=False)
         lf_msg = text.str.extract(LOGFMT_MSG, expand=False)
 
-        out["format"] = None
-        out.loc[is_apache, "format"] = "apache"
-        out.loc[is_json, "format"] = "json"
-        out.loc[is_logfmt, "format"] = "logfmt"
         for c in ["client_ip", "username", "log_time", "http_method", "http_url"]:
             out[c] = ap[c]
         out["http_status"] = pd.to_numeric(ap["http_status"], errors="coerce").astype("Int32")
@@ -272,7 +277,9 @@ def parse_transcripts(df: DataFrame, engine: str = "jvm") -> DataFrame:
         parsed = F.when(ok, parsed)
     else:
         raise ValueError(f"unknown parse engine {engine!r}")
-    return df.withColumn("parsed", parsed).withColumn("parse_ok", ok)
+    return df.withColumns(
+        {"format": detect_format(text), "parsed": parsed, "parse_ok": ok}
+    )
 
 
 def split_errors(
@@ -284,7 +291,7 @@ def split_errors(
     ok = df.filter(F.col("parse_ok"))
     dropped = (
         df.filter(~F.col("parse_ok"))
-        .drop("parsed", "parse_ok")
+        .drop("format", "parsed", "parse_ok")
         .withColumn("_dropped_reason", F.lit("parse_error"))
         .withColumn("_dropped_component", F.lit(component))
     )

@@ -76,7 +76,7 @@ def enriched_transcripts(
     lookup = tool_lookup_df(spark)
     out = enrich(ok, lookup, ["tool", "role"], strict=False)
     if flat:
-        out = out.select(*FLAT_COLS, "parsed.*")
+        out = out.select(*FLAT_COLS, "format", "parsed.*")
     return out, dropped
 
 
@@ -140,7 +140,7 @@ def pipeline_stats(
     lookup = tool_lookup_df(spark)
     enriched = enrich(parsed, lookup, ["tool", "role"], strict=False)
     flat = enriched.select(
-        *FLAT_COLS, "parse_ok", "parsed.*"
+        *FLAT_COLS, "format", "parse_ok", "parsed.*"
     )
     tags = F.when(
         F.col("parse_ok"), route_tag_column(ROUTES, reroute_unmatched=True)

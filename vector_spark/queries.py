@@ -90,7 +90,8 @@ def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = parse_transcripts(load_transcripts(spark, sf_dir))
     return df.select(
-        "conv_id", "turn_idx", "role", "tool", "ts", "parsed.*", "parse_ok"
+        "conv_id", "turn_idx", "role", "tool", "ts", "format", "parsed.*",
+        "parse_ok",
     )
 
 

@@ -61,7 +61,7 @@ def streaming_sink_stats(
 
     parsed = parse_transcripts(stream)
     enriched = enrich(parsed, tool_lookup_df(spark), ["tool", "role"], strict=False)
-    flat = enriched.select(*FLAT_COLS, "parse_ok", "parsed.*")
+    flat = enriched.select(*FLAT_COLS, "format", "parse_ok", "parsed.*")
     tags = F.when(
         F.col("parse_ok"), route_tag_column(ROUTES, reroute_unmatched=True)
     ).otherwise(F.array(F.lit("_dropped")))
