@@ -13,7 +13,7 @@ physical planner; running the sinks triggers execution.
 Supported component types map 1:1 to SURVEY §2 operators:
 
 sources:    parquet | csv | json | text (with codec) | transcripts
-transforms: remap(parse) | filter | route | exclusive_route | sample |
+transforms: remap(parse) | remap_exprs | filter | route | exclusive_route | sample |
             throttle | dedupe | reduce | aggregate | window | enrich |
             log_to_metric | metric_to_log | incremental_to_absolute |
             tag_cardinality_limit | sessionize | lineage
@@ -117,6 +117,17 @@ def _build_transform(
             ok = ok.select(*keep, "format", "parsed.*")
         # remap's main + dropped output ports (remap.rs:50)
         return {"__default__": ok, "dropped": dropped}
+    if typ == "remap_exprs":
+        from vector_spark.operators.remap import remap as generic_remap
+
+        res = generic_remap(
+            inp, cfg["assignments"],
+            deletions=cfg.get("deletions", ()),
+            error_when=cfg.get("error_when"),
+            abort_when=cfg.get("abort_when"),
+            explode_col=cfg.get("explode_col"),
+        )
+        return {"__default__": res.main, "dropped": res.dropped}
     if typ == "filter":
         return filter_events(inp, cfg["condition"])
     if typ == "route":

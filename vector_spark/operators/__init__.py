@@ -1,4 +1,4 @@
-from vector_spark.operators.aggregate import aggregate, diff, window_start  # noqa: F401
+from vector_spark.operators.aggregate import aggregate, diff, histogram, window_start  # noqa: F401
 from vector_spark.operators.dedupe import dedupe  # noqa: F401
 from vector_spark.operators.metrics import (  # noqa: F401
     delay,
@@ -9,6 +9,7 @@ from vector_spark.operators.metrics import (  # noqa: F401
     tag_cardinality_limit,
     trace_to_log,
 )
+from vector_spark.operators.remap import RemapResult, remap  # noqa: F401
 from vector_spark.operators.reduce import reduce_events, sessionize, strategy_expr  # noqa: F401
 from vector_spark.operators.route import (  # noqa: F401
     UNMATCHED,

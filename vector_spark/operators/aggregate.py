@@ -27,6 +27,14 @@ _MODES = {
     "latest": lambda v, ts: F.max_by(v, ts),
     "earliest": lambda v, ts: F.min_by(v, ts),
     "count_distinct": lambda v, ts: F.countDistinct(v),
+    # AggregatedSummary quantiles (metric/value.rs:66): Spark's exact
+    # interpolated percentile == DuckDB quantile_cont (oracle-parity)
+    "p50": lambda v, ts: F.percentile(v, F.lit(0.5)),
+    "p90": lambda v, ts: F.percentile(v, F.lit(0.9)),
+    "p95": lambda v, ts: F.percentile(v, F.lit(0.95)),
+    "p99": lambda v, ts: F.percentile(v, F.lit(0.99)),
+    "approx_p95": lambda v, ts: F.percentile_approx(v, F.lit(0.95)),
+    "approx_distinct": lambda v, ts: F.approx_count_distinct(v),
 }
 
 
@@ -83,4 +91,25 @@ def diff(
     out_col = out_col or f"{value_col}_diff"
     return agg_df.withColumn(
         out_col, F.col(value_col) - F.lag(value_col).over(w)
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bucket_width: float,
+    keys: list[str] = (),
+    *,
+    bucket_col: str = "bucket_lo",
+) -> DataFrame:
+    """AggregatedHistogram (metric/value.rs:51): fixed-width buckets →
+    (keys..., bucket_lo, n).  Explicit-edge bucketing keeps the result
+    exact and engine-portable (floor(v / width) * width)."""
+    lo = (
+        F.floor(F.col(value_col) / F.lit(bucket_width)) * F.lit(bucket_width)
+    ).alias(bucket_col)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, lo)
+        .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -572,6 +572,72 @@ def q_tag_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return limited.groupBy("service").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register(
+    "latency_quantiles",
+    _ENRICH_CTE
+    + """
+SELECT role,
+       quantile_cont(latency_ms, 0.5) AS p50,
+       quantile_cont(latency_ms, 0.95) AS p95,
+       quantile_cont(latency_ms, 0.99) AS p99,
+       count(latency_ms) AS n
+FROM enriched GROUP BY role""",
+)
+def q_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatedSummary quantiles (exact percentile == quantile_cont)."""
+    df = _enriched(spark, sf_dir)
+    return df.groupBy("role").agg(
+        F.percentile("latency_ms", F.lit(0.5)).alias("p50"),
+        F.percentile("latency_ms", F.lit(0.95)).alias("p95"),
+        F.percentile("latency_ms", F.lit(0.99)).alias("p99"),
+        F.count("latency_ms").alias("n"),
+    )
+
+
+@register(
+    "latency_histogram",
+    _ENRICH_CTE
+    + """
+SELECT CAST(floor(latency_ms / 250.0) * 250.0 AS DOUBLE) AS bucket_lo,
+       count(*) AS n
+FROM enriched WHERE latency_ms IS NOT NULL
+GROUP BY 1""",
+)
+def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatedHistogram with explicit fixed-width buckets."""
+    from vector_spark.operators import histogram
+
+    return histogram(_enriched(spark, sf_dir), "latency_ms", 250.0)
+
+
+@register(
+    "remap_program",
+    transcripts_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx,
+       upper(role) AS role_uc,
+       length(text) AS text_len,
+       CAST(turn_idx * 7 AS BIGINT) AS offset_s
+FROM transcripts
+WHERE NOT (length(text) < 20 AND turn_idx = 0)""",
+)
+def q_remap_program(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic expression-program remap with an error channel."""
+    from vector_spark.operators import remap
+
+    res = remap(
+        load_transcripts(spark, sf_dir),
+        {
+            "role_uc": "upper(role)",
+            "text_len": "length(text)",
+            "offset_s": "CAST(turn_idx * 7 AS BIGINT)",
+        },
+        error_when="text_len < 20 AND turn_idx = 0",
+        deletions=["text", "role", "tool", "ts"],
+    )
+    return res.main
+
+
 # ---------------------------------------------------------------------------
 # generic engine coverage over driver-provided tables
 
