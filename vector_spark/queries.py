@@ -108,6 +108,24 @@ def q_parse_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dropped.select("conv_id", "turn_idx", "text", "_dropped_reason")
 
 
+@register(
+    "turns_stable_order",
+    transcripts_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx, text,
+       row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS stable_pos
+FROM transcripts""",
+)
+def q_turns_stable_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn TEXT equality under stable (conv_id, turn_idx) ordering —
+    the north rule's row-level gate, as an explicit driver query."""
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    return load_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "text",
+        (F.row_number().over(w) - 1).alias("stable_pos"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # enrich
 

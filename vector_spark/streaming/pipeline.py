@@ -156,3 +156,41 @@ def run_to_memory(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def write_stream_to_table(
+    sdf: DataFrame,
+    table,
+    *,
+    mode: str = "append",
+) -> Any:
+    """Exactly-once streaming sink into a SnapshotTable via foreachBatch.
+
+    Vector's end-to-end acks (finalization.rs: sink delivery status →
+    source offset commit) re-expressed: each micro-batch commits as one
+    atomic snapshot tagged with its batch id; a replayed batch (source
+    restart) is detected and skipped, so the table sees every batch
+    exactly once.
+    """
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = table.history()
+        seen = {m.get("batch_id") for m in last}
+        if batch_id in seen:
+            return  # replayed batch after restart — already committed
+        snap = table.commit(batch_df, mode=mode)
+        # tag the manifest with the batch id for replay detection
+        import json as _json
+        import os as _os
+
+        mpath = _os.path.join(table.manifest_dir, f"{snap}.json")
+        with open(mpath) as f:
+            m = _json.load(f)
+        m["batch_id"] = batch_id
+        with open(mpath, "w") as f:
+            _json.dump(m, f)
+
+    q = sdf.writeStream.outputMode("append").foreachBatch(commit_batch).start()
+    q.processAllAvailable()
+    q.stop()
+    return q
