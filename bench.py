@@ -114,6 +114,23 @@ def main() -> None:
         ).count(),
     )
 
+    # training-data ops over the transcript corpus (text dedup at scale)
+    from vector_spark.datapipe.dedup import minhash_signatures, simhash
+    from vector_spark.datapipe.text import analyze_documents
+
+    docs = transcripts.select(
+        (F.crc32("conv_id") * 100000 + F.col("turn_idx")).alias("doc_id"),
+        "text",
+    )
+    bench("minhash_signatures", lambda: minhash_signatures(docs).count())
+    bench("simhash", lambda: simhash(docs).count())
+    bench(
+        "text_analysis",
+        lambda: analyze_documents(transcripts)
+        .agg(F.sum("n_tokens"), F.avg("quality"), F.count(F.lit(1)))
+        .collect(),
+    )
+
     emit(timings, n_turns, cpus)
 
 

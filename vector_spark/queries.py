@@ -403,6 +403,44 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "reduce_sessions",
+    transcripts_cte(N_ORACLE)
+    + """,
+s AS (
+  SELECT conv_id, turn_idx, text, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 600 THEN 1 ELSE 0 END AS is_start
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+sess AS (
+  SELECT conv_id, turn_idx, text, ts,
+         sum(is_start) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM s
+)
+SELECT conv_id, session_id,
+       count(*) AS n_turns,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS all_text,
+       min(ts) AS ts, max(ts) AS ts_end
+FROM sess GROUP BY conv_id, session_id""",
+)
+def q_reduce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped reduce: the reference's expire_after_ms flush —
+    sessionize then merge per (conv, session)."""
+    df = sessionize(load_transcripts(spark, sf_dir), ["conv_id"], gap_sec=600)
+    return reduce_events(
+        df,
+        group_by=["conv_id", "session_id"],
+        strategies={
+            "n_turns": ("count", "text"),
+            "all_text": ("concat_newline", "text"),
+        },
+        ord_col="turn_idx",
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedupe
 
@@ -433,6 +471,67 @@ def q_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe(
         dup, match=["conv_id", "turn_idx"], order_by=["ts", "role"]
     ).select("conv_id", "turn_idx", "role")
+
+
+@register(
+    "dedupe_ignore_mode",
+    transcripts_cte(N_ORACLE)
+    + """,
+rn AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         row_number() OVER (
+           PARTITION BY conv_id, turn_idx, role, text, tool
+           ORDER BY ts, conv_id, turn_idx) AS _rn
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, role FROM rn WHERE _rn = 1""",
+)
+def q_dedupe_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedupe ignore-fields mode: fingerprint = all columns except ts."""
+    df = load_transcripts(spark, sf_dir)
+    return dedupe(df, ignore=["ts"]).select("conv_id", "turn_idx", "role")
+
+
+@register(
+    "latest_status_by_service",
+    _ENRICH_CTE
+    + """,
+rn AS (
+  SELECT service, http_status, latency_ms,
+         row_number() OVER (PARTITION BY service
+                            ORDER BY ts DESC, conv_id DESC, turn_idx DESC) AS _last,
+         row_number() OVER (PARTITION BY service
+                            ORDER BY ts ASC, conv_id ASC, turn_idx ASC) AS _first
+  FROM enriched
+),
+agg AS (SELECT service, count(*) AS n FROM enriched GROUP BY service)
+SELECT a.service,
+       mx.http_status AS last_status,
+       mn.latency_ms AS first_latency,
+       a.n
+FROM agg a
+LEFT JOIN (SELECT service, http_status FROM rn WHERE _last = 1) mx USING (service)
+LEFT JOIN (SELECT service, latency_ms FROM rn WHERE _first = 1) mn USING (service)""",
+)
+def q_latest_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate modes Latest/Earliest, deterministic under ts ties:
+    explicit window over a UNIQUE ordering (ts, conv_id, turn_idx).
+    (Plain max_by/arg_max differ across engines on ties and nulls —
+    DuckDB's arg_max skips null values, Spark's max_by keeps them.)"""
+    df = _enriched(spark, sf_dir)
+    w_last = W.partitionBy("service").orderBy(
+        F.desc("ts"), F.desc("conv_id"), F.desc("turn_idx")
+    )
+    w_first = W.partitionBy("service").orderBy("ts", "conv_id", "turn_idx")
+    rn = df.withColumn("_last", F.row_number().over(w_last)).withColumn(
+        "_first", F.row_number().over(w_first)
+    )
+    agg = df.groupBy("service").agg(F.count(F.lit(1)).alias("n"))
+    mx = rn.filter("_last = 1").select("service", F.col("http_status").alias("last_status"))
+    mn = rn.filter("_first = 1").select("service", F.col("latency_ms").alias("first_latency"))
+    return agg.join(mx, "service", "left").join(mn, "service", "left").select(
+        "service", "last_status", "first_latency", "n"
+    )
 
 
 # ---------------------------------------------------------------------------
