@@ -26,6 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
         fused_aggregates,
     )
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     transcripts = load_transcripts(spark, "/root/testdata/sf0.001")
     enriched, _dropped = enriched_transcripts(spark, transcripts)
     return fused_aggregates(enriched)

@@ -14,7 +14,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
-        _REGISTRY[name] = (fn, oracle)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the driver supplies its own SparkSession; timestamp
+            # parity with the (UTC-naive) DuckDB oracle requires the
+            # session timezone pinned to UTC
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = (wrapped, oracle)
         return fn
 
     return deco
