@@ -11,7 +11,7 @@ the Spark relational rendering of MetricSeries/MetricData
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 METRIC_COLS = ["name", "namespace", "tags", "kind", "value", "ts"]
 

@@ -99,7 +99,6 @@ def fused_aggregates(
     """
     from pyspark.sql import functions as F
 
-    from vector_spark.operators.aggregate import window_start
     from vector_spark.operators.route import route_tag_column
 
     routes = routes or ROUTES

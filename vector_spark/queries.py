@@ -12,8 +12,6 @@ compare sorts columns by name before hashing.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from vector_spark.data.oracles import parsed_cte, transcripts_cte

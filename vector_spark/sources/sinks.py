@@ -16,7 +16,7 @@ end-to-end acks.  Spark re-expression:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame
 
 
 def key_partition_column(template_cols: dict[str, Column]) -> list[str]:
