@@ -125,3 +125,27 @@ def test_incremental_to_absolute_mixed_kinds(spark):
     assert got[("c", 0)] == 1.0 and got[("c", 1)] == 3.0 and got[("c", 2)] == 7.0
     assert got[("g", 0)] == 10.0 and got[("g", 3)] == 7.0  # absolutes pass through
     assert all(r["kind"] == "absolute" for r in out.collect())
+
+
+def test_ip_range_join_strategies_agree(spark):
+    """Geoip-style range enrichment: bucketed hash-join path produces
+    the same result as the broadcast non-equi join, and actually plans
+    as a BroadcastHashJoin (not a nested loop)."""
+    from vector_spark.enrich import enrich_ip_ranges
+    from vector_spark.queries import _IP_RANGES, _enriched
+
+    ranges = spark.createDataFrame(_IP_RANGES, "ip_lo long, ip_hi long, net string")
+    fact = _enriched(spark, "/root/testdata/sf0.001").filter(
+        F.col("client_ip").isNotNull()
+    ).select("conv_id", "turn_idx", "client_ip")
+    a = enrich_ip_ranges(fact, ranges, "client_ip", how="bucketed")
+    b = enrich_ip_ranges(fact, ranges, "client_ip", how="broadcast").drop(
+        "ip_lo", "ip_hi"
+    )
+    a_sel = a.select("conv_id", "turn_idx", "net")
+    b_sel = b.select("conv_id", "turn_idx", "net")
+    assert a_sel.exceptAll(b_sel).count() == 0
+    assert b_sel.exceptAll(a_sel).count() == 0
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

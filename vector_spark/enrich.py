@@ -77,3 +77,56 @@ def load_csv_lookup(spark, path: str, schema: str) -> DataFrame:
     file.rs's `string|date|timestamp|int|float|bool` coercion (no
     inferSchema; production tables declare types)."""
     return spark.read.csv(path, header=True, schema=schema)
+
+
+def enrich_ip_ranges(
+    fact: DataFrame,
+    ranges: DataFrame,
+    ip_col: str,
+    *,
+    lo_col: str = "ip_lo",
+    hi_col: str = "ip_hi",
+    how: str = "bucketed",
+    bucket_bits: int = 16,
+) -> DataFrame:
+    """Geoip-style enrichment: ip ∈ [ip_lo, ip_hi] range lookup
+    (the mmdb point-lookup of /root/reference/src/enrichment_tables/
+    geoip.rs re-expressed relationally; ranges carry the attributes).
+
+    - ``broadcast``: non-equi broadcast join — fine when the ranges
+      table is small (a nested-loop probe per row).
+    - ``bucketed`` (default): the 100 TB path — each range row is
+      exploded across the /``bucket_bits`` prefixes it covers, the fact
+      ip joins its prefix with a HASH join, then the exact range filter
+      applies.  Turns O(rows × ranges) into O(rows + covered-buckets).
+    """
+    from vector_spark.functions.vrl import ip_to_long
+
+    ip = ip_to_long(F.col(ip_col)).alias("_ip")
+    f = fact.withColumn("_ip", ip_to_long(F.col(ip_col)))
+    if how == "broadcast":
+        cond = (F.col("_ip") >= ranges[lo_col]) & (F.col("_ip") <= ranges[hi_col])
+        return f.join(F.broadcast(ranges), on=cond, how="left").drop("_ip")
+    if how != "bucketed":
+        raise ValueError(f"unknown range-join strategy {how!r}")
+    shift = 32 - bucket_bits
+    bucketed_ranges = ranges.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.col(lo_col), shift),
+                F.shiftright(F.col(hi_col), shift),
+            )
+        ),
+    )
+    fb = f.withColumn("_bucket", F.shiftright(F.col("_ip"), shift))
+    joined = fb.join(
+        F.broadcast(bucketed_ranges),
+        on=(
+            (fb["_bucket"] == bucketed_ranges["_bucket"])
+            & (fb["_ip"] >= bucketed_ranges[lo_col])
+            & (fb["_ip"] <= bucketed_ranges[hi_col])
+        ),
+        how="left",
+    )
+    return joined.drop(bucketed_ranges["_bucket"]).drop("_bucket", "_ip")

@@ -139,6 +139,45 @@ def q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: synthetic IP-range "geo" table: /8 blocks with labels (VALUES SQL so
+#: the oracle joins identical rows)
+_IP_RANGES = [
+    (10 * 16777216, 11 * 16777216 - 1, "net-a"),
+    (11 * 16777216, 64 * 16777216 - 1, "net-b"),
+    (64 * 16777216, 128 * 16777216 - 1, "net-c"),
+]
+_IP_RANGES_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"({lo}, {hi}, '{lab}')" for lo, hi, lab in _IP_RANGES
+) + ") AS ip_ranges(ip_lo, ip_hi, net)"
+
+
+@register(
+    "enrich_ip_ranges",
+    _ENRICH_CTE
+    + f""",
+ip_ranges AS ({_IP_RANGES_SQL}),
+ips AS (
+  SELECT conv_id, turn_idx,
+         CAST(string_split(client_ip, '.')[1] AS BIGINT) * 16777216
+         + CAST(string_split(client_ip, '.')[2] AS BIGINT) * 65536
+         + CAST(string_split(client_ip, '.')[3] AS BIGINT) * 256
+         + CAST(string_split(client_ip, '.')[4] AS BIGINT) AS ip
+  FROM enriched WHERE client_ip IS NOT NULL
+)
+SELECT r.net, count(*) AS n
+FROM ips i LEFT JOIN ip_ranges r ON i.ip BETWEEN r.ip_lo AND r.ip_hi
+GROUP BY r.net""",
+)
+def q_enrich_ip_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geoip-style range-join enrichment (bucketed hash-join path)."""
+    from vector_spark.enrich import enrich_ip_ranges
+
+    ranges = spark.createDataFrame(_IP_RANGES, "ip_lo long, ip_hi long, net string")
+    fact = _enriched(spark, sf_dir).filter(F.col("client_ip").isNotNull())
+    out = enrich_ip_ranges(fact, ranges, "client_ip")
+    return out.groupBy("net").agg(F.count(F.lit(1)).alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # route (non-exclusive) — one row-level query per sink + count parity
 
