@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 from vector_spark.data.transcripts import transcripts_table
 from vector_spark.operators.route import route
 from vector_spark.plans.transcript_pipeline import ROUTES, enriched_transcripts
-from vector_spark.sources.readers import line_agg, read_source, read_text_decoded
+from vector_spark.sources.readers import (
+    line_agg,
+    line_agg_exact,
+    read_source,
+    read_text_decoded,
+)
 from vector_spark.sources.sinks import blackhole, fan_out_write
 
 OUT = "/tmp/vector_spark_test_sinks"
@@ -79,6 +84,112 @@ def test_line_agg_halt_with(spark):
         "part a\npart b END",
         "next a\nnext b END",
     ]
+
+
+def test_line_agg_continue_past(spark):
+    # trailing-backslash continuation (line_agg.rs:33-37): a C-match
+    # means the next line is part of the same message
+    rows = [(1, "cmd one \\"), (2, "arg a \\"), (3, "arg b"), (4, "cmd two")]
+    df = spark.createDataFrame(rows, "line_no int, value string")
+    for fn in (line_agg, line_agg_exact):
+        out = fn(
+            df, start_pattern=r".", mode="continue_past",
+            condition_pattern=r"\\$", order_by="line_no",
+        ).orderBy("line_no").collect()
+        assert [r["message"] for r in out] == [
+            "cmd one \\\narg a \\\narg b",
+            "cmd two",
+        ], fn.__name__
+
+
+def test_line_agg_halt_before(spark):
+    # the legacy file-source default (line_agg.rs:39-42, for_legacy):
+    # a line MATCHING the marker begins a new group; everything else
+    # folds into the current one.  ADVICE round 1: the old impl split
+    # a group after its first continuation line.
+    rows = [
+        (1, "=> msg one"),
+        (2, "part a"),
+        (3, "part b"),
+        (4, "=> msg two"),
+        (5, "tail"),
+    ]
+    df = spark.createDataFrame(rows, "line_no int, value string")
+    for fn in (line_agg, line_agg_exact):
+        out = fn(
+            df, start_pattern=r"^=>", mode="halt_before", order_by="line_no"
+        ).orderBy("line_no").collect()
+        assert [r["message"] for r in out] == [
+            "=> msg one\npart a\npart b",
+            "=> msg two\ntail",
+        ], fn.__name__
+
+
+def test_line_agg_exact_matches_window_on_stack_traces(spark):
+    # continue_through with complementary S/C patterns: both engines
+    # must agree (the documented common case)
+    rows = [
+        (1, "ERROR boom"),
+        (2, "  at frame1"),
+        (3, "  at frame2"),
+        (4, "INFO fine"),
+        (5, "ERROR again"),
+        (6, "  at frameX"),
+    ]
+    df = spark.createDataFrame(rows, "line_no int, value string")
+    a = line_agg(
+        df, start_pattern=r"^\S", mode="continue_through",
+        condition_pattern=r"^\s", order_by="line_no",
+    ).orderBy("line_no").collect()
+    b = line_agg_exact(
+        df, start_pattern=r"^\S", mode="continue_through",
+        condition_pattern=r"^\s", order_by="line_no",
+    ).orderBy("line_no").collect()
+    assert [r["message"] for r in a] == [r["message"] for r in b] == [
+        "ERROR boom\n  at frame1\n  at frame2",
+        "INFO fine",
+        "ERROR again\n  at frameX",
+    ]
+
+
+def test_line_agg_exact_vacant_state_edges(spark):
+    # reference edges the window path can't express
+    # (line_agg.rs:354-367): a vacant-state line NOT matching
+    # start_pattern is emitted standalone; a halt_with start line that
+    # itself matches C does not close its single-line buffer.
+    rows = [(1, "  orphan"), (2, "ERROR x"), (3, "  at y")]
+    df = spark.createDataFrame(rows, "line_no int, value string")
+    out = line_agg_exact(
+        df, start_pattern=r"^\S", mode="continue_through",
+        condition_pattern=r"^\s", order_by="line_no",
+    ).orderBy("line_no").collect()
+    assert [r["message"] for r in out] == ["  orphan", "ERROR x\n  at y"]
+
+    rows2 = [(1, "a;"), (2, "b;"), (3, "c")]
+    df2 = spark.createDataFrame(rows2, "line_no int, value string")
+    out2 = line_agg_exact(
+        df2, start_pattern=r".", mode="halt_with",
+        condition_pattern=r";$", order_by="line_no",
+    ).orderBy("line_no").collect()
+    # buffer [a;] → b; C-match EndInclude → [a;\nb;]; c buffers, drains
+    assert [r["message"] for r in out2] == ["a;\nb;", "c"]
+
+
+def test_line_agg_grouped_by_source_key(spark):
+    # per-source-key isolation: records never span files
+    rows = [
+        ("f1", 1, "=> a"), ("f1", 2, "cont"),
+        ("f2", 1, "=> b"), ("f2", 2, "more"),
+    ]
+    df = spark.createDataFrame(rows, "src string, line_no int, value string")
+    for fn in (line_agg, line_agg_exact):
+        out = fn(
+            df, start_pattern=r"^=>", mode="halt_before",
+            group_by=["src"], order_by="line_no",
+        ).orderBy("src").collect()
+        assert [(r["src"], r["message"]) for r in out] == [
+            ("f1", "=> a\ncont"), ("f2", "=> b\nmore"),
+        ], fn.__name__
 
 
 def test_fan_out_routed_row_equality(spark, outdir):

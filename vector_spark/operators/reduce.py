@@ -99,6 +99,7 @@ def sessionize(
     ts_col: str = "ts",
     gap_sec: int = 30,
     session_col: str = "session_id",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gap-based session ids — the deterministic event-time analogue of
     reduce's ``expire_after_ms`` staleness flush
@@ -109,7 +110,7 @@ def sessionize(
     session starts (lag + cumulative sum — two window passes over one
     shuffle of the group key).
     """
-    w = W.partitionBy(*group_by).orderBy(ts_col)
+    w = W.partitionBy(*group_by).orderBy(ts_col, *(tiebreak_cols or []))
     gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
         F.lag(ts_col).over(w)
     )

@@ -429,11 +429,13 @@ s AS (
   FROM transcripts
   WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
 )
-SELECT conv_id, sum(is_start) AS n_sessions FROM s GROUP BY conv_id""",
+SELECT conv_id, CAST(sum(is_start) AS BIGINT) AS n_sessions
+FROM s GROUP BY conv_id""",
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = sessionize(
-        load_transcripts(spark, sf_dir), ["conv_id"], gap_sec=600
+        load_transcripts(spark, sf_dir), ["conv_id"], gap_sec=600,
+        tiebreak_cols=["turn_idx"],
     )
     return df.groupBy("conv_id").agg(
         (F.max("session_id") + 1).alias("n_sessions")
@@ -453,8 +455,9 @@ s AS (
 ),
 sess AS (
   SELECT conv_id, turn_idx, text, ts,
-         sum(is_start) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
-                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(sum(is_start) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1
+           AS session_id
   FROM s
 )
 SELECT conv_id, session_id,
@@ -466,7 +469,8 @@ FROM sess GROUP BY conv_id, session_id""",
 def q_reduce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-scoped reduce: the reference's expire_after_ms flush —
     sessionize then merge per (conv, session)."""
-    df = sessionize(load_transcripts(spark, sf_dir), ["conv_id"], gap_sec=600)
+    df = sessionize(load_transcripts(spark, sf_dir), ["conv_id"], gap_sec=600,
+                    tiebreak_cols=["turn_idx"])
     return reduce_events(
         df,
         group_by=["conv_id", "session_id"],
@@ -475,6 +479,45 @@ def q_reduce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "all_text": ("concat_newline", "text"),
         },
         ord_col="turn_idx",
+    )
+
+
+@register(
+    "multiline_records",
+    transcripts_cte(N_ORACLE)
+    + """,
+marks AS (
+  SELECT conv_id, turn_idx, text,
+         CASE WHEN lag(text) OVER w IS NULL
+                OR regexp_matches(text, '^\\{"') THEN 1 ELSE 0 END AS is_start
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+recs AS (
+  SELECT conv_id, turn_idx, text,
+         sum(is_start) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS rec
+  FROM marks
+)
+SELECT conv_id,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS message,
+       min(turn_idx) AS turn_idx
+FROM recs GROUP BY conv_id, rec""",
+)
+def q_multiline_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_agg halt_before (the legacy file-source multiline default,
+    /root/reference/src/line_agg.rs:39-42, for_legacy at :73-78): a
+    JSON line starts a new record; following non-JSON lines fold in.
+    Per-conversation streams stand in for per-file line streams."""
+    from vector_spark.sources.readers import line_agg
+
+    return line_agg(
+        load_transcripts(spark, sf_dir),
+        start_pattern=r'^\{"',
+        group_by=["conv_id"],
+        order_by="turn_idx",
+        line_col="text",
+        mode="halt_before",
     )
 
 

@@ -122,35 +122,53 @@ def line_agg(
     (/root/reference/src/line_agg.rs:24-76, modes ContinueThrough |
     ContinuePast | HaltBefore | HaltWith).
 
-    Batch re-expression: a record starts at a line matching
-    ``start_pattern`` (or, for halt_before, at a line NOT matching
-    ``condition_pattern``); record id = running count of starts within
-    the ordered group; one groupBy concatenates each record in line
-    order.  One shuffle on (group, record).
+    Batch re-expression: each line is classified as a record start via a
+    lag window; record id = running count of starts within the ordered
+    group; one groupBy concatenates each record in line order.  One
+    shuffle on (group, record) — fully vectorized, no state machine.
+
+    Per-mode start rules (condition ``C`` = ``condition_pattern``):
+
+    - continue_through: record continues while lines match C; a start
+      line need not match C (line_agg.rs:317-318).  Start = line does
+      not match C... here expressed as line matching ``start_pattern``
+      (the usual config has S and C complementary, e.g. stack traces:
+      S=``^\\S``, C=``^\\s``).
+    - continue_past: a C-match means the NEXT line still belongs to the
+      record (line_agg.rs:321-322) → start = previous line did NOT
+      match C.
+    - halt_before: "all consecutive lines not matching this pattern are
+      included in the group" (line_agg.rs:325-326, the legacy
+      file-source default) → a line MATCHING C begins a new record.
+    - halt_with: a C-match ENDS the record inclusively
+      (line_agg.rs:329-330) → start = previous line matched C.
+
+    Known divergence from the reference's streaming state machine
+    (line_agg.rs:304-368), documented and covered by
+    :func:`line_agg_exact`: in the vacant state the reference emits a
+    non-``start_pattern`` line as its own standalone record, and a
+    halt_with start line that itself matches C does not terminate its
+    (single-line-so-far) record.  With the usual complementary
+    patterns both paths agree; use ``line_agg_exact`` when bug-for-bug
+    parity on degenerate inputs matters.
     """
     cond = condition_pattern or start_pattern
+    prev = F.lag(F.col(line_col)).over(
+        W.partitionBy(*group_by).orderBy(order_by)
+    )
     if mode == "continue_through":
         # every start-line begins a record; continuation lines don't match
         is_start = F.col(line_col).rlike(start_pattern)
     elif mode == "continue_past":
         # a line matching cond means the NEXT line continues the record:
         # a line starts a record when the PREVIOUS line did not match
-        prev = F.lag(F.col(line_col)).over(
-            W.partitionBy(*group_by).orderBy(order_by)
-        )
         is_start = prev.isNull() | ~prev.rlike(cond)
     elif mode == "halt_before":
-        # record continues while lines match cond; a non-matching line
-        # starts the next record
-        prev = F.lag(F.col(line_col)).over(
-            W.partitionBy(*group_by).orderBy(order_by)
-        )
-        is_start = prev.isNull() | ~prev.rlike(cond)
+        # a line matching cond begins a new record; non-matching lines
+        # are folded into the current one (line_agg.rs:325-326)
+        is_start = prev.isNull() | F.col(line_col).rlike(cond)
     elif mode == "halt_with":
         # a line matching cond ENDS the record (inclusive)
-        prev = F.lag(F.col(line_col)).over(
-            W.partitionBy(*group_by).orderBy(order_by)
-        )
         is_start = prev.isNull() | prev.rlike(cond)
     else:
         raise ValueError(f"unknown line_agg mode {mode!r}")
@@ -173,3 +191,114 @@ def line_agg(
         )
         .drop("_rec")
     )
+
+
+def line_agg_exact(
+    df: DataFrame,
+    start_pattern: str,
+    *,
+    group_by: list[str] = (),
+    order_by: str = "line_no",
+    line_col: str = "value",
+    mode: str = "continue_through",
+    condition_pattern: str | None = None,
+) -> DataFrame:
+    """Bug-for-bug port of the reference line_agg state machine
+    (/root/reference/src/line_agg.rs:304-368) as an ``applyInPandas``
+    per-source-key scan.
+
+    The reference processes each source key (file) sequentially; this
+    does the same — groups (source keys) run in parallel across
+    executors, lines within a group run through the exact
+    vacant/occupied Decision table:
+
+    - vacant + line matches start_pattern  → buffer the line
+    - vacant + no match                    → emit the line standalone
+    - occupied: (mode, condition_match) → Continue | EndInclude |
+      EndExclude, with EndExclude re-processing the terminating line
+      as if vacant (the "stash" path, line_agg.rs:247-280)
+    - end-of-group drains the open buffer (line_agg.rs:206-219)
+
+    Use :func:`line_agg` (pure window functions, no Python) for the
+    scale path; this variant is the semantics oracle and the escape
+    hatch for degenerate pattern configs.
+    """
+    import re
+
+    import pandas as pd
+
+    group_by = list(group_by)
+    if not group_by:
+        df = df.withColumn("_g", F.lit(1))
+        gcols = ["_g"]
+    else:
+        gcols = group_by
+
+    s_re = re.compile(start_pattern)
+    c_re = re.compile(condition_pattern or start_pattern)
+    if mode not in ("continue_through", "continue_past",
+                    "halt_before", "halt_with"):
+        raise ValueError(f"unknown line_agg mode {mode!r}")
+    mode_ = mode
+
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"`{c}` {fields[c]}" for c in gcols]
+        + ["message string", f"`{order_by}` {fields[order_by]}"]
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by)
+        lines = pdf[line_col].tolist()
+        ords = pdf[order_by].tolist()
+        gvals = [pdf[c].iloc[0] for c in gcols]
+        out_msg: list[str] = []
+        out_ord: list = []
+        buf: list[str] = []
+        buf_ord = None
+
+        def flush():
+            nonlocal buf, buf_ord
+            if buf:
+                out_msg.append("\n".join(buf))
+                out_ord.append(buf_ord)
+                buf, buf_ord = [], None
+
+        def fresh(line: str, o) -> None:
+            nonlocal buf, buf_ord
+            if s_re.search(line):
+                buf, buf_ord = [line], o
+            else:
+                out_msg.append(line)
+                out_ord.append(o)
+
+        for line, o in zip(lines, ords):
+            if not buf:
+                fresh(line, o)
+                continue
+            m = bool(c_re.search(line))
+            if mode_ == "continue_through":
+                decision = "continue" if m else "end_exclude"
+            elif mode_ == "continue_past":
+                decision = "continue" if m else "end_include"
+            elif mode_ == "halt_before":
+                decision = "end_exclude" if m else "continue"
+            else:  # halt_with
+                decision = "end_include" if m else "continue"
+            if decision == "continue":
+                buf.append(line)
+            elif decision == "end_include":
+                buf.append(line)
+                flush()
+            else:  # end_exclude: flush, then re-process line as vacant
+                flush()
+                fresh(line, o)
+        flush()
+
+        data = {c: [v] * len(out_msg) for c, v in zip(gcols, gvals)}
+        data["message"] = out_msg
+        data[order_by] = out_ord
+        return pd.DataFrame(data)
+
+    out = df.groupBy(*gcols).applyInPandas(assemble, schema=out_schema)
+    return out.drop("_g") if not group_by else out
