@@ -107,6 +107,31 @@ def test_throttle_exclude_and_cap(spark):
     out2 = throttle(df, threshold=3, window_sec=3600, key_fields=["key"],
                     order_by=["ts", "i"], exclude=F.col("i") >= 18)
     assert out2.count() == 5  # 3 admitted + 2 bypassed
+    # bypassed events must NOT consume threshold slots
+    # (transform.rs:103-110): with the first 2 rows excluded, 3
+    # non-excluded rows are still admitted
+    out3 = throttle(df, threshold=3, window_sec=3600, key_fields=["key"],
+                    order_by=["ts", "i"], exclude=F.col("i") < 2)
+    assert sorted(r["i"] for r in out3.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_tag_cardinality_drop_event_passes_null_tags(spark):
+    """Events WITHOUT the limited tag bypass drop_event — the reference
+    only drops events whose tag VALUE was rejected (ADVICE round 1)."""
+    import datetime as _dt
+
+    from vector_spark.operators.metrics import tag_cardinality_limit
+
+    rows = [
+        ("a", _dt.datetime(2026, 1, 1, 0, 0, 0)),
+        ("b", _dt.datetime(2026, 1, 1, 0, 0, 1)),
+        ("c", _dt.datetime(2026, 1, 1, 0, 0, 2)),   # over limit → dropped
+        (None, _dt.datetime(2026, 1, 1, 0, 0, 3)),  # no tag → passes
+    ]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp")
+    out = tag_cardinality_limit(df, ["tag"], value_limit=2, action="drop_event")
+    got = sorted((r["tag"] or "~null") for r in out.collect())
+    assert got == ["a", "b", "~null"]
 
 
 def test_incremental_to_absolute_mixed_kinds(spark):

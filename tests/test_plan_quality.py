@@ -69,6 +69,21 @@ def test_parse_scan_is_columnar(spark):
     assert _plan(t.filter("turn_idx > 3")).startswith("*(")  # codegen marker
 
 
+def test_tag_cardinality_acceptance_set_is_parallel(spark):
+    """The first-seen acceptance ranking must be a TakeOrderedAndProject
+    (per-partition top-K), never a global-window row_number whose
+    single-partition Exchange is exactly what blows up under the
+    tag-cardinality explosion this operator guards against."""
+    from vector_spark.operators.metrics import tag_cardinality_limit
+
+    t = transcripts_table(spark, 6000)
+    df = tag_cardinality_limit(t, ["role"], value_limit=3)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
+
+
 def test_parse_not_reevaluated_per_field(spark):
     """The parsed struct must appear ONCE in the optimized plan —
     repeated from_csv/from_json per extracted field was a 5x

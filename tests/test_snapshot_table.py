@@ -44,6 +44,12 @@ def test_rollback(spark, tbl_dir):
     assert tbl.read().count() == 10
     # the later snapshot is still reachable explicitly
     assert tbl.read(version=v2).count() == 15
+    # a commit after rollback must allocate PAST v2, not reuse its id —
+    # v2's data and manifest stay intact (ADVICE round 1)
+    v3 = tbl.commit(t.limit(7), mode="append")
+    assert v3 > v2
+    assert tbl.read().count() == 17  # v1 (10) + 7
+    assert tbl.read(version=v2).count() == 15  # untouched
 
 
 def test_uncommitted_data_is_invisible(spark, tbl_dir):

@@ -128,9 +128,17 @@ def tag_cardinality_limit(
     Deterministic re-spec of the first-seen HashSet: a tag value is
     "accepted" if it is among the first ``value_limit`` distinct values
     by first-seen time (min ts, value as tie-break).  ``drop_tag``
-    nulls the offending tag; ``drop_event`` drops the row.  Cost: one
-    small agg per tag (distinct values) broadcast back — no extra
-    shuffle of the fact table.
+    nulls the offending tag; ``drop_event`` drops the row — events
+    WITHOUT the tag pass through untouched in both modes
+    (tag_cardinality_limit/transform.rs: events lacking the tag are
+    never dropped).  Cost: one small agg per tag (distinct values)
+    broadcast back — no extra shuffle of the fact table.
+
+    The acceptance set is a parallel top-K (``orderBy().limit()`` →
+    TakeOrderedAndProject: per-partition heaps, K·P rows merged at the
+    driver), NOT a global-window row_number — the distinct-values frame
+    is exactly what explodes in the cardinality-blowup scenario this
+    operator guards against, so it must never hit a single reducer.
     """
     out = df
     for tag in tag_cols:
@@ -138,13 +146,8 @@ def tag_cardinality_limit(
             df.filter(F.col(tag).isNotNull())
             .groupBy(tag)
             .agg(F.min(ts_col).alias("_first_ts"))
-            .withColumn(
-                "_rank",
-                F.row_number().over(
-                    W.orderBy(F.col("_first_ts"), F.col(tag))
-                ),
-            )
-            .filter(F.col("_rank") <= value_limit)
+            .orderBy(F.col("_first_ts"), F.col(tag))
+            .limit(value_limit)
             .select(F.col(tag).alias("_ok_val"))
         )
         ok = F.broadcast(first_seen)
@@ -155,7 +158,9 @@ def tag_cardinality_limit(
                 F.when(F.col("_ok_val").isNotNull(), F.col(tag)),
             ).drop("_ok_val")
         elif action == "drop_event":
-            out = joined.filter(F.col("_ok_val").isNotNull()).drop("_ok_val")
+            out = joined.filter(
+                F.col(tag).isNull() | F.col("_ok_val").isNotNull()
+            ).drop("_ok_val")
         else:
             raise ValueError(f"unknown action {action!r}")
     return out

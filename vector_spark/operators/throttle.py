@@ -34,10 +34,16 @@ def throttle(
     win = window_start(F.col(ts_col), window_sec)
     order = order_by or [c for c in (ts_col, "conv_id", "turn_idx") if c in df.columns]
     w = W.partitionBy(*keys, win).orderBy(*order)
-    rn = F.row_number().over(w)
-    keep = rn <= threshold
-    if exclude is not None:
-        keep = keep | to_condition(exclude)
+    if exclude is None:
+        keep = F.row_number().over(w) <= threshold
+    else:
+        # excluded events bypass the limiter and do NOT consume
+        # capacity (transform.rs:103-110): rank only non-excluded rows
+        exc = to_condition(exclude)
+        admitted = F.sum((~exc).cast("int")).over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        )
+        keep = exc | (admitted <= threshold)
     return (
         df.withColumn("_th_keep", keep)
         .filter(F.col("_th_keep"))

@@ -46,6 +46,18 @@ class SnapshotTable:
         with open(os.path.join(self.manifest_dir, f"{snap_id}.json")) as f:
             return json.load(f)
 
+    @staticmethod
+    def _parquet_rows(data_dir: str) -> int:
+        """Row count from parquet footers (driver-side metadata read) —
+        no extra Spark job per commit."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(os.path.join(data_dir, n)).metadata.num_rows
+            for n in os.listdir(data_dir)
+            if n.endswith(".parquet")
+        )
+
     def _flip_head(self, snap_id: int) -> None:
         tmp = self.head_path + ".tmp"
         with open(tmp, "w") as f:
@@ -58,10 +70,18 @@ class SnapshotTable:
         """Write a snapshot; returns its id.  ``append`` unions with the
         parent's file set; ``overwrite`` starts a fresh set."""
         parent = self._head()
-        snap_id = (parent or 0) + 1
+        # allocate past ALL existing manifests, not head+1: a commit
+        # after rollback(v) must not reuse (and overwrite) id v+1 —
+        # later snapshots stay readable by explicit version
+        existing = [
+            int(n[:-5])
+            for n in os.listdir(self.manifest_dir)
+            if n.endswith(".json") and n[:-5].isdigit()
+        ]
+        snap_id = max(existing, default=0) + 1
         data_dir = os.path.join(self.path, f"snap-{snap_id:08d}")
         df.write.mode("overwrite").parquet(data_dir)
-        rows = self.spark.read.parquet(data_dir).count()
+        rows = self._parquet_rows(data_dir)
         files = [data_dir]
         total = rows
         if mode == "append" and parent is not None:
