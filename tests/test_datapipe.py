@@ -66,13 +66,40 @@ def test_ann_recall_vs_exact(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 20)
     exact = cosine_topk(emb, queries, k=5).collect()
-    approx = ann_topk(emb, queries, k=5, n_planes=4, n_tables=8).collect()
+    # this corpus's exact top-5 sit at LOW cosine (~0.3: no true
+    # near-dups), so recall needs wide buckets + many tables; measured
+    # here: 3x32 → 0.91, 4x24 → 0.72, 8x8 → ~0.5
+    approx = ann_topk(emb, queries, k=5, n_planes=3, n_tables=32).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.5, f"ANN recall {recall} too low for 4x8 LSH"
+    assert recall >= 0.8, f"ANN recall {recall} too low for 3x32 LSH"
     # candidates actually restricted: approx scored fewer pairs than brute force
     assert len(approx_set) <= len(exact_set)
+
+
+def test_near_dup_pairs_vs_exact_verifier(spark):
+    """Bucketized near-dup (the scale path) against the all-pairs exact
+    verifier: every planted clone pair must be recovered, and nothing
+    outside the exact set may appear (precision 1.0 by construction —
+    candidates are exactly rescored)."""
+    from vector_spark.datapipe.similarity import all_pairs_cosine, near_dup_pairs
+    from vector_spark.queries_datapipe import _aug_emb
+
+    aug = _aug_emb(spark, SF_DIR).persist()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(aug, threshold=0.9).collect()
+    }
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in all_pairs_cosine(aug, threshold=0.9).collect()
+    }
+    aug.unpersist()
+    assert truth, "verifier found no near-dup pairs — planting broken"
+    assert got <= truth  # exact rescoring → no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"near-dup recall {recall} too low for 8x8 LSH"
 
 
 def test_multimodal_feature_plumbing(spark):

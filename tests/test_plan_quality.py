@@ -84,6 +84,45 @@ def test_tag_cardinality_acceptance_set_is_parallel(spark):
     assert "Window" not in plan
 
 
+def test_near_dup_pairs_has_no_cross_join(spark):
+    """The near-dup scale path must be bucket equi-joins only — the
+    all-pairs cross join was round 1's scale-killer."""
+    from vector_spark.queries_datapipe import q_emb_near_dup
+
+    plan = _plan(q_emb_near_dup(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_candidate_restriction_below_pair_join(spark):
+    """With LSH candidates, jaccard_pairs must semi-join the shingle
+    table to candidate docs AND the collision rows to candidate pairs
+    BEFORE the intersection groupBy — so LSH bounds the quadratic work
+    (VERDICT r1 #4)."""
+    from vector_spark.datapipe.dedup import (
+        jaccard_pairs, lsh_candidates, minhash_signatures,
+    )
+    from vector_spark.queries_datapipe import _dup_df
+
+    dup = _dup_df(spark, "/root/testdata/sf0.001")
+    cand = lsh_candidates(minhash_signatures(dup))
+    out = jaccard_pairs(dup, cand, threshold=0.5)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("LeftSemi") >= 2
+    # the pair-level semi join must sit under the intersection count:
+    # the first Aggregate (from the top) appears only after... instead,
+    # assert structurally: every Aggregate that computes the `inter`
+    # count has a LeftSemi somewhere beneath it
+    lines = optimized.splitlines()
+    inter_idx = next(
+        i for i, ln in enumerate(lines)
+        if "Aggregate" in ln and "count(1) AS inter" in ln
+    )
+    assert any("LeftSemi" in ln for ln in lines[inter_idx:]), (
+        "candidate semi-join not below the intersection aggregate"
+    )
+
+
 def test_parse_not_reevaluated_per_field(spark):
     """The parsed struct must appear ONCE in the optimized plan —
     repeated from_csv/from_json per extracted field was a 5x

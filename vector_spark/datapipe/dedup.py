@@ -144,23 +144,32 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs.
 
-    With ``candidates`` (from LSH) only those pairs are verified —
-    the scale path.  Without, all pairs sharing >= 1 shingle are
-    scored (quadratic in shingle-collision volume — small corpora /
-    testing only).
+    With ``candidates`` (from LSH) the restriction is pushed BELOW the
+    pair-generation join — the scale path: the shingle table is first
+    semi-joined to candidate doc ids (so only candidate docs' shingles
+    shuffle), and collision rows are semi-joined to candidate pairs
+    BEFORE the groupBy (so the O(collisions²) intersection work is
+    bounded by what LSH admitted, not the whole corpus).  Without
+    candidates, all pairs sharing >= 1 shingle are scored (quadratic in
+    shingle-collision volume — small corpora / testing only).
     """
     sh = shingle_hashes(df, text_col, n).select(id_col, "h").distinct()
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "h")
     b = sh.select(F.col(id_col).alias("id_b"), "h")
-    inter = (
-        a.join(b, "h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    colliding = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "inner")
+        colliding = colliding.join(candidates, ["id_a", "id_b"], "left_semi")
+    inter = colliding.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
     out = (
         inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")

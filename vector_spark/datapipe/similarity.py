@@ -115,6 +115,71 @@ def hyperplane_lsh_buckets(
     return out
 
 
+def near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    *,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucket candidate generation
+    + exact cosine rescoring — NO all-pairs cross join anywhere.
+
+    A pair is considered iff it collides in >= 1 of ``n_tables`` bucket
+    tables (OR-amplification); collisions are an equi-self-join on the
+    bucket key, so the work is O(sum of bucket sizes squared), bounded
+    by the bucket width (``n_planes`` — scale it with log2(N) to keep
+    buckets fixed-size as the corpus grows).  Candidates are then
+    rescored exactly and filtered at ``threshold``.  Recall vs the
+    all-pairs verifier is a test gate (test_datapipe.py); at
+    cos >= 0.9 the 8x8 config recalls ~0.94+, and every planted
+    perturbed clone sits at cos ~0.999 where recall is ~1.
+    """
+    vb = hyperplane_lsh_buckets(
+        vectors, n_planes=n_planes, n_tables=n_tables, dim=dim,
+        vec_col=vec_col,
+    ).select(F.col(id_col), "bucket")
+    a = vb.select(F.col(id_col).alias("id_a"), "bucket")
+    b = vb.select(F.col(id_col).alias("id_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_a"))
+    vc = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vc, "id_b")
+        .withColumn("cos", F.round(cosine(F.col("_a"), F.col("_b")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def all_pairs_cosine(
+    vectors: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs verifier for :func:`near_dup_pairs` — O(N²),
+    test-time ground truth only."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_a"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("_a"), F.col("_b")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
