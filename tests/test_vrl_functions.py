@@ -101,3 +101,119 @@ def test_parse_csv_and_kv(spark):
     assert (v["s"], v["n"], v["b"]) == ("a", 1, True)
     kv = _one(spark, vrl.parse_key_value(F.lit("a=1 b=2")))
     assert kv == {"a": "1", "b": "2"}
+
+
+def test_parse_xml(spark):
+    xml = "<event><id>7</id><msg>hello</msg></event>"
+    v = _one(spark, vrl.parse_xml(F.lit(xml), "id int, msg string"))
+    assert (v["id"], v["msg"]) == (7, "hello")
+
+
+def test_parse_cef(spark):
+    line = ("CEF:0|Security|threatmanager|1.0|100|worm stopped|10|"
+            "src=10.0.0.1 dst=2.1.2.2 spt=1232 msg=hello there")
+    v = _one(spark, vrl.parse_cef(F.lit(line)))
+    assert v["cef_version"] == 0
+    assert v["device_vendor"] == "Security"
+    assert v["device_product"] == "threatmanager"
+    assert v["device_event_class_id"] == "100"
+    assert v["name"] == "worm stopped"
+    assert v["severity"] == "10"
+    assert v["extensions"]["src"] == "10.0.0.1"
+    assert v["extensions"]["spt"] == "1232"
+    assert v["extensions"]["msg"] == "hello there"  # spaces inside value
+    # escaped pipe in a header field
+    v2 = _one(spark, vrl.parse_cef(
+        F.lit(r"CEF:1|a\|b|p|1|id|n|3|k=v")))
+    assert v2["device_vendor"] == "a|b"
+    assert _one(spark, vrl.parse_cef(F.lit("not cef"))) is None
+
+
+def test_parse_aws_vpc_flow_log(spark):
+    line = ("2 123456789010 eni-1235b8ca 172.31.16.139 172.31.16.21 "
+            "20641 22 6 20 4249 1418530010 1418530070 ACCEPT OK")
+    v = _one(spark, vrl.parse_aws_vpc_flow_log(F.lit(line)))
+    assert v["version"] == 2 and v["account_id"] == "123456789010"
+    assert v["srcaddr"] == "172.31.16.139" and v["dstport"] == 22
+    assert v["packets"] == 20 and v["bytes"] == 4249
+    assert v["action"] == "ACCEPT" and v["log_status"] == "OK"
+    # NODATA line: '-' placeholders become null
+    nd = ("2 123456789010 eni-1a2b3c4d - - - - - - - "
+          "1431280876 1431280934 - NODATA")
+    v2 = _one(spark, vrl.parse_aws_vpc_flow_log(F.lit(nd)))
+    assert v2["srcaddr"] is None and v2["action"] is None
+    assert v2["log_status"] == "NODATA"
+
+
+def test_parse_nginx_log(spark):
+    line = ('203.0.113.9 - alice [17/Aug/2026:10:00:00 +0000] '
+            '"GET /index.html HTTP/1.1" 200 512 "http://ref.example" '
+            '"Mozilla/5.0"')
+    v = _one(spark, vrl.parse_nginx_log(F.lit(line)))
+    assert v["client"] == "203.0.113.9" and v["user"] == "alice"
+    assert v["request"] == "GET /index.html HTTP/1.1"
+    assert v["status"] == 200 and v["size"] == 512
+    assert v["referer"] == "http://ref.example"
+    anon = ('10.0.0.1 - - [17/Aug/2026:10:00:00 +0000] "GET / HTTP/1.1" '
+            '404 0 "-" "-"')
+    v2 = _one(spark, vrl.parse_nginx_log(F.lit(anon)))
+    assert v2["user"] is None and v2["referer"] is None and v2["agent"] is None
+
+
+def test_parse_user_agent(spark):
+    ua = ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+          "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36")
+    v = _one(spark, vrl.parse_user_agent(F.lit(ua)))
+    assert v["browser_family"] == "Chrome"
+    assert v["browser_version"].startswith("120.")
+    assert v["os_family"] == "Windows" and v["os_version"] == "10.0"
+    assert v["device_category"] == "pc"
+    bot = _one(spark, vrl.parse_user_agent(
+        F.lit("Googlebot/2.1 (+http://www.google.com/bot.html)")))
+    assert bot["browser_family"] == "Bot"
+    assert bot["device_category"] == "crawler"
+    mac = _one(spark, vrl.parse_user_agent(F.lit(
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15"
+        " (KHTML, like Gecko) Version/17.0 Safari/605.1.15")))
+    assert mac["browser_family"] == "Safari" and mac["os_family"] == "macOS"
+    assert mac["os_version"] == "10.15.7"
+
+
+def test_gzip_zlib_round_trip(spark):
+    payload = "the quick brown fox " * 20
+    col = F.lit(payload)
+    back = vrl.decode_gzip(vrl.encode_gzip(col)).cast("string")
+    assert _one(spark, back) == payload
+    back2 = vrl.decode_zlib(vrl.encode_zlib(col)).cast("string")
+    assert _one(spark, back2) == payload
+    # deterministic bytes (mtime pinned) — safe for oracle hashing
+    import gzip
+    expected = gzip.compress(payload.encode(), compresslevel=6, mtime=0)
+    got = _one(spark, vrl.encode_gzip(col))
+    assert bytes(got) == expected
+
+
+def test_optional_codecs_raise_clearly():
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    with _pytest.raises(RuntimeError, match="zstandard"):
+        vrl.decode_zstd(_F.lit(b"x"))
+    with _pytest.raises(RuntimeError, match="snappy"):
+        vrl.decode_snappy(_F.lit(b"x"))
+
+
+def test_sha3_and_hmac(spark):
+    import hashlib
+    import hmac as _hmac
+
+    assert _one(spark, vrl.sha3(F.lit("abc"), "SHA3-256")) == hashlib.sha3_256(
+        b"abc"
+    ).hexdigest()
+    assert _one(spark, vrl.sha3(F.lit("abc"))) == hashlib.sha3_512(b"abc").hexdigest()
+    assert _one(spark, vrl.hmac_sha(F.lit("msg"), "key")) == _hmac.new(
+        b"key", b"msg", hashlib.sha256
+    ).hexdigest()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        vrl.sha3(F.lit("x"), "SHA3-123")

@@ -115,6 +115,163 @@ def parse_timestamp(col: Column, fmt: str) -> Column:
     return F.to_timestamp(col, fmt)
 
 
+def parse_xml(col: Column, schema: str) -> Column:
+    """VRL parse_xml → Spark 4 from_xml with an explicit schema (the
+    Spark-native equivalent of VRL's XML→object conversion; used by the
+    reference's own scaling case,
+    regression/cases/scale_sync_only_8_cpu/vector/vector.yaml:47)."""
+    return F.from_xml(col, schema)
+
+
+# CEF header: CEF:version|vendor|product|device_version|sig_id|name|severity|ext
+# pipes inside header fields are escaped as \| (ArcSight CEF spec).
+_CEF_FIELD = r"((?:\\.|[^|\\])*)"
+CEF_REGEX = (
+    r"^(?:.*\s)?CEF:(\d+)\|" + r"\|".join([_CEF_FIELD] * 6) + r"\|(.*)$"
+)
+_CEF_HEADER = [
+    "cef_version", "device_vendor", "device_product", "device_version",
+    "device_event_class_id", "name", "severity",
+]
+
+
+def parse_cef(col: Column) -> Column:
+    """VRL parse_cef: ArcSight Common Event Format → struct of the 7
+    header fields + an `extensions` map.  Header unescaping and the
+    space-lookahead extension split are all JVM regex — no UDF.
+    Extension values may contain spaces; keys are `\\w.`-only, so the
+    split boundary is ``' ' followed by key=``."""
+    raw = regex_extract_struct(
+        col, CEF_REGEX, _CEF_HEADER + ["_ext"]
+    )
+    unesc = lambda c: F.regexp_replace(c, r"\\([|\\])", r"$1")  # noqa: E731
+    ext_pairs = F.split(raw.getField("_ext"), r" (?=[\w.\[\]]+=)")
+    exts = F.map_from_entries(
+        F.transform(
+            F.filter(ext_pairs, lambda p: p.contains("=")),
+            lambda p: F.struct(
+                F.regexp_extract(p, r"^([^=]+)=", 1).alias("key"),
+                F.regexp_replace(
+                    F.regexp_extract(p, r"^[^=]+=(.*)$", 1),
+                    r"\\([=\\])", r"$1",
+                ).alias("value"),
+            ),
+        )
+    )
+    return F.when(
+        raw.isNotNull(),
+        F.struct(
+            raw.getField("cef_version").cast("int").alias("cef_version"),
+            *[unesc(raw.getField(f)).alias(f) for f in _CEF_HEADER[1:-1]],
+            raw.getField("severity").alias("severity"),
+            exts.alias("extensions"),
+        ),
+    )
+
+
+#: AWS VPC flow log v2 default format (14 space-separated fields)
+VPC_FLOW_SCHEMA = (
+    "version int, account_id string, interface_id string, srcaddr string, "
+    "dstaddr string, srcport int, dstport int, protocol int, packets long, "
+    "bytes long, start long, `end` long, action string, log_status string"
+)
+
+
+def parse_aws_vpc_flow_log(col: Column, schema: str = VPC_FLOW_SCHEMA) -> Column:
+    """VRL parse_aws_vpc_flow_log (default v2 format) — one from_csv
+    with space separator; '-' placeholders become null via nullValue."""
+    return F.from_csv(col, schema, {"sep": " ", "nullValue": "-"})
+
+
+#: nginx 'combined' access-log format
+NGINX_COMBINED_REGEX = (
+    r'^(\S+) - (\S+) \[([^\]]+)\] "([^"]*)" (\d+) (\d+) "([^"]*)" "([^"]*)"'
+)
+
+
+def parse_nginx_log(col: Column) -> Column:
+    """VRL parse_nginx_log(format: 'combined') → struct; '-' user/refs
+    map to null like the reference."""
+    raw = regex_extract_struct(
+        col, NGINX_COMBINED_REGEX,
+        ["client", "user", "timestamp", "request", "status", "size",
+         "referer", "agent"],
+    )
+    dash_null = lambda c: F.when(c != "-", c)  # noqa: E731
+    return F.when(
+        raw.isNotNull(),
+        F.struct(
+            raw.getField("client").alias("client"),
+            dash_null(raw.getField("user")).alias("user"),
+            raw.getField("timestamp").alias("timestamp"),
+            raw.getField("request").alias("request"),
+            raw.getField("status").cast("int").alias("status"),
+            raw.getField("size").cast("long").alias("size"),
+            dash_null(raw.getField("referer")).alias("referer"),
+            dash_null(raw.getField("agent")).alias("agent"),
+        ),
+    )
+
+
+def parse_user_agent(col: Column) -> Column:
+    """VRL parse_user_agent (fast mode): browser/os/device families via
+    ordered regex alternatives — a Column-only re-expression of the
+    common woothee rules, not a full UA database."""
+    first = lambda *rules: _first_match(col, rules)  # noqa: E731
+    browser = first(
+        (r"firefox/([\d.]+)", "Firefox", 1),
+        (r"edg(?:e|a|ios)?/([\d.]+)", "Edge", 1),
+        (r"(?:opr|opera)/([\d.]+)", "Opera", 1),
+        (r"(?:chrome|crios)/([\d.]+)", "Chrome", 1),
+        (r"version/([\d.]+).*safari", "Safari", 1),
+        (r"msie ([\d.]+)", "IE", 1),
+        (r"curl/([\d.]+)", "curl", 1),
+        (r"bot|crawler|spider", "Bot", None),
+    )
+    os_fam = first(
+        (r"windows nt ([\d.]+)", "Windows", 1),
+        (r"mac os x ([\d_.]+)", "macOS", 1),
+        (r"android ([\d.]+)", "Android", 1),
+        (r"(?:iphone|cpu) os ([\d_]+)", "iOS", 1),
+        (r"linux", "Linux", None),
+    )
+    lower = F.lower(col)
+    device = (
+        F.when(lower.rlike(r"bot|crawler|spider|curl"), "crawler")
+        .when(lower.rlike(r"mobile|iphone|android.*mobile"), "smartphone")
+        .when(lower.rlike(r"ipad|tablet"), "tablet")
+        .otherwise("pc")
+    )
+    return F.struct(
+        browser.getField("family").alias("browser_family"),
+        browser.getField("version").alias("browser_version"),
+        os_fam.getField("family").alias("os_family"),
+        os_fam.getField("version").alias("os_version"),
+        device.alias("device_category"),
+    )
+
+
+def _first_match(col: Column, rules) -> Column:
+    """First regex rule that matches wins → struct(family, version);
+    version = the named capture group, '_' normalized to '.'."""
+    lowered = F.lower(col)
+    out = F.lit(None).cast("struct<family:string,version:string>")
+    for pattern, family, vgroup in reversed(list(rules)):
+        ver = (
+            F.nullif(
+                F.regexp_replace(
+                    F.regexp_extract(lowered, pattern, vgroup), "_", "."
+                ),
+                F.lit(""),
+            )
+            if vgroup is not None
+            else F.lit(None).cast("string")
+        )
+        hit = F.struct(F.lit(family).alias("family"), ver.alias("version"))
+        out = F.when(lowered.rlike(pattern), hit).otherwise(out)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Coerce
 
@@ -272,6 +429,50 @@ sha2 = F.sha2
 crc32 = F.crc32
 
 
+def sha3(col: Column, variant: str = "SHA3-512") -> Column:
+    """VRL sha3 (default SHA3-512) — hashlib via an Arrow-batched
+    kernel; Spark has sha2 built in but no sha3 expression."""
+    import hashlib
+
+    algo = variant.replace("-", "_").lower()  # SHA3-256 -> sha3_256
+    if algo not in ("sha3_224", "sha3_256", "sha3_384", "sha3_512"):
+        raise ValueError(f"unknown sha3 variant {variant!r}")
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _udf(s):
+        h = getattr(hashlib, algo)
+        return s.map(
+            lambda b: None if b is None else h(bytes(b)).hexdigest()
+        )
+
+    return _udf(col.cast("binary"))
+
+
+def hmac_sha(col: Column, key: str, algorithm: str = "sha256") -> Column:
+    """VRL hmac(value, key) — hex digest (compose with encode_base64 /
+    encode_base16 like VRL does for other encodings)."""
+    import hashlib
+    import hmac as _hmac
+
+    if algorithm not in ("sha1", "sha224", "sha256", "sha384", "sha512"):
+        raise ValueError(f"unknown hmac algorithm {algorithm!r}")
+    kb = key.encode()
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _udf(s):
+        return s.map(
+            lambda b: None
+            if b is None
+            else _hmac.new(kb, bytes(b), getattr(hashlib, algorithm)).hexdigest()
+        )
+
+    return _udf(col.cast("binary"))
+
+
 def uuid_v4() -> Column:
     """Nondeterministic, like VRL uuid_v4() — excluded from oracle
     checks by nature."""
@@ -308,6 +509,78 @@ def encode_base64(col: Column) -> Column:
 
 def decode_base64(col: Column) -> Column:
     return F.unbase64(col).cast("string")
+
+
+def _binary_pandas_udf(fn, name: str):
+    """Arrow-batched binary→binary kernel: the escape hatch for codecs
+    Spark has no built-in expression for.  pandas .map over a bytes
+    Series — per-batch Python, never per-row Spark."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _udf(s):
+        return s.map(lambda b: None if b is None else fn(bytes(b)))
+
+    _udf.__name__ = name
+    return _udf
+
+
+def encode_gzip(col: Column) -> Column:
+    """VRL encode_gzip — deterministic (mtime=0, fixed level) so
+    round-trips and oracle hashes are stable."""
+    import gzip as _gzip
+
+    return _binary_pandas_udf(
+        lambda b: _gzip.compress(b, compresslevel=6, mtime=0), "encode_gzip"
+    )(col.cast("binary"))
+
+
+def decode_gzip(col: Column) -> Column:
+    import gzip as _gzip
+
+    return _binary_pandas_udf(_gzip.decompress, "decode_gzip")(
+        col.cast("binary")
+    )
+
+
+def encode_zlib(col: Column) -> Column:
+    import zlib as _zlib
+
+    return _binary_pandas_udf(
+        lambda b: _zlib.compress(b, 6), "encode_zlib"
+    )(col.cast("binary"))
+
+
+def decode_zlib(col: Column) -> Column:
+    import zlib as _zlib
+
+    return _binary_pandas_udf(_zlib.decompress, "decode_zlib")(
+        col.cast("binary")
+    )
+
+
+def _optional_codec(module: str, attr: str, direction: str):
+    try:
+        mod = __import__(module)
+    except ImportError:
+        raise RuntimeError(
+            f"{direction}_{attr} requires the '{module}' package, which is "
+            "not in this container; gzip/zlib are available"
+        ) from None
+    return mod
+
+
+def decode_zstd(col: Column) -> Column:
+    mod = _optional_codec("zstandard", "zstd", "decode")
+    d = mod.ZstdDecompressor()
+    return _binary_pandas_udf(d.decompress, "decode_zstd")(col.cast("binary"))
+
+
+def decode_snappy(col: Column) -> Column:
+    mod = _optional_codec("snappy", "snappy", "decode")
+    return _binary_pandas_udf(mod.decompress, "decode_snappy")(
+        col.cast("binary")
+    )
 
 
 # --------------------------------------------------------------------------

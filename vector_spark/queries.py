@@ -483,6 +483,39 @@ def q_reduce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parse_xml_roundtrip",
+    transcripts_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx, turn_idx AS xid, role,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix, tool
+FROM transcripts""",
+)
+def q_parse_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VRL parse_xml via Spark 4 from_xml: each turn's metadata is
+    rendered to an XML payload (attribute + nested elements) and parsed
+    back; the oracle recovers the same fields directly, so a parse
+    regression breaks the hash gate."""
+    from vector_spark.functions.vrl import parse_xml
+
+    t = load_transcripts(spark, sf_dir)
+    xml = F.concat(
+        F.lit('<turn id="'), F.col("turn_idx").cast("string"),
+        F.lit('"><role>'), F.col("role"),
+        F.lit("</role><ts>"), F.unix_timestamp("ts").cast("string"),
+        F.lit("</ts><tool>"), F.col("tool"), F.lit("</tool></turn>"),
+    )
+    parsed = parse_xml(xml, "_id INT, role STRING, ts BIGINT, tool STRING")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        parsed.getField("_id").alias("xid"),
+        parsed.getField("role").alias("role"),
+        parsed.getField("ts").alias("ts_unix"),
+        parsed.getField("tool").alias("tool"),
+    )
+
+
+@register(
     "multiline_records",
     transcripts_cte(N_ORACLE)
     + """,
