@@ -9,6 +9,7 @@ from vector_spark.operators.metrics import (  # noqa: F401
     tag_cardinality_limit,
     trace_to_log,
 )
+from vector_spark.operators.memory_table import MemoryTable, TableFullError  # noqa: F401
 from vector_spark.operators.remap import RemapResult, remap  # noqa: F401
 from vector_spark.operators.reduce import reduce_events, sessionize, strategy_expr  # noqa: F401
 from vector_spark.operators.route import (  # noqa: F401

@@ -178,6 +178,66 @@ def q_enrich_ip_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("net").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register(
+    "memory_enrich_ttl",
+    _ENRICH_CTE
+    + """,
+writes AS (
+  SELECT service, level AS cur_level, ts, conv_id, turn_idx
+  FROM enriched WHERE format = 'json' AND service IS NOT NULL
+),
+mx AS (SELECT max(ts) AS as_of FROM writes),
+ranked AS (
+  SELECT w.*, row_number() OVER (
+    PARTITION BY service ORDER BY ts DESC, conv_id DESC, turn_idx DESC
+  ) AS rn
+  FROM writes w
+),
+state AS (
+  SELECT r.service, r.cur_level
+  FROM ranked r, mx
+  WHERE rn = 1
+    AND CAST(floor(epoch(as_of)) AS BIGINT)
+        - CAST(floor(epoch(ts)) AS BIGINT) <= 1800
+)
+SELECT e.service, s.cur_level, CAST(count(*) AS BIGINT) AS n
+FROM writes e LEFT JOIN state s USING (service)
+GROUP BY e.service, s.cur_level""",
+)
+def q_memory_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writable memory enrichment table with TTL
+    (src/enrichment_tables/memory/config.rs:34-78): the pipeline WRITES
+    per-service status rows into the table, then the same event stream
+    looks its service's current (non-expired, last-write-wins) status
+    back up — 'pipeline writes the table it later joins against'."""
+    import os
+    import shutil
+
+    from vector_spark.operators.memory_table import MemoryTable
+
+    path = f"/tmp/vector_spark_memtbl_query/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    writes = (
+        _enriched(spark, sf_dir)
+        .filter((F.col("format") == "json") & F.col("service").isNotNull())
+        .select(
+            "service", F.col("level").alias("cur_level"), "ts",
+            "conv_id", "turn_idx",
+        )
+    )
+    tbl = MemoryTable(
+        spark, path, ["service"], ttl_sec=1800,
+        tiebreak_cols=["conv_id", "turn_idx"],
+    )
+    tbl.write(writes)
+    as_of = writes.agg(F.max("ts")).first()[0]
+    events = writes.select("service")
+    out = tbl.lookup(events, F.lit(as_of))
+    return out.groupBy("service", "cur_level").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # route (non-exclusive) — one row-level query per sink + count parity
 
