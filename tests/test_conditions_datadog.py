@@ -1,0 +1,109 @@
+"""Datadog-search condition compiler: parity cases modeled on the
+reference's (source, pass_event, fail_event) triples
+(/root/reference/src/conditions/datadog_search.rs:481-900) restricted
+to the flat-schema subset the module documents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.conditions_datadog import datadog_search
+
+SCHEMA = (
+    "message string, host string, a string, n double, flag boolean, "
+    "status string"
+)
+BLANK = {c: None for c in
+         ("message", "host", "a", "n", "flag", "status")}
+
+
+def _matches(spark, query: str, event: dict) -> bool:
+    row = {**BLANK, **event}
+    df = spark.createDataFrame([tuple(row[c] for c in (
+        "message", "host", "a", "n", "flag", "status"))], SCHEMA)
+    return df.filter(datadog_search(query)).count() == 1
+
+
+# (query, passing event, failing event) — mirrors the reference's
+# get_checks() structure
+CASES = [
+    # match-all
+    ("*", {"message": "foo"}, None),
+    # attribute exists / missing
+    ("_exists_:a", {"a": "foo"}, {}),
+    ("NOT _exists_:a", {}, {"a": "foo"}),
+    ("_missing_:a", {}, {"a": "foo"}),
+    # keyword: word-boundary on the default field
+    ("bla", {"message": "hello bla world"}, {"message": "blah"}),
+    ('"bla"', {"message": "bla"}, {"message": "nothing here"}),
+    ("NOT bla", {"message": "nothing"}, {"message": "bla"}),
+    ('-"bla"', {"message": ""}, {"message": "bla"}),
+    # facets: equality
+    ("host:foo", {"host": "foo"}, {"host": "foobar"}),
+    ('a:"bla"', {"a": "bla"}, {"a": "blab"}),
+    ("NOT host:foo", {"host": "bar"}, {"host": "foo"}),
+    ("-host:foo", {}, {"host": "foo"}),
+    # booleans
+    ("@flag:true", {"flag": True}, {"flag": False}),
+    ("NOT @flag:false", {"flag": True}, {"flag": False}),
+    # escaped specials in values
+    (r"@a:va\ lue", {"a": "va lue"}, {"a": "value"}),
+    (r"@a:va\*lue", {"a": "va*lue"}, {"a": "vaXlue"}),
+    # wildcards
+    ("host:foo*", {"host": "foobar"}, {"host": "barfoo"}),
+    ("host:*foo", {"host": "barfoo"}, {"host": "foobar"}),
+    ("host:f*o", {"host": "fxxxo"}, {"host": "fxxx"}),
+    ("bl*", {"message": "hello blah"}, {"message": "hello ball"}),
+    # numeric comparisons
+    ("n:>5", {"n": 6.0}, {"n": 5.0}),
+    ("n:>=5", {"n": 5.0}, {"n": 4.9}),
+    ("n:<5", {"n": 4.0}, {"n": 5.0}),
+    ("n:<=5", {"n": 5.0}, {"n": 5.1}),
+    # ranges (numeric and string)
+    ("n:[1 TO 5]", {"n": 5.0}, {"n": 5.5}),
+    ("a:[a TO c]", {"a": "b"}, {"a": "d"}),
+    # boolean composition + parentheses + implicit AND
+    ("host:foo AND n:>1", {"host": "foo", "n": 2.0}, {"host": "foo", "n": 0.5}),
+    ("host:foo n:>1", {"host": "foo", "n": 2.0}, {"host": "bar", "n": 2.0}),
+    ("host:foo OR n:>1", {"host": "bar", "n": 2.0}, {"host": "bar", "n": 0.0}),
+    (
+        "(host:a OR host:b) AND status:err",
+        {"host": "b", "status": "err"},
+        {"host": "c", "status": "err"},
+    ),
+    ("NOT (host:a OR host:b)", {"host": "c"}, {"host": "a"}),
+]
+
+
+@pytest.mark.parametrize("query,ok,bad", CASES,
+                         ids=[c[0] for c in CASES])
+def test_datadog_search_cases(spark, query, ok, bad):
+    assert _matches(spark, query, ok), f"{query!r} should match {ok!r}"
+    if bad is not None:
+        assert not _matches(spark, query, bad), (
+            f"{query!r} should NOT match {bad!r}"
+        )
+
+
+def test_null_fields_never_match_but_negation_does(spark):
+    # SQL ternary logic must not leak: NOT host:foo on a null host is
+    # TRUE (Datadog semantics), host:foo on a null host is FALSE
+    assert not _matches(spark, "host:foo", {})
+    assert _matches(spark, "NOT host:foo", {})
+
+
+def test_compiles_to_column_usable_in_route(spark):
+    from vector_spark.operators.route import route
+
+    df = spark.createDataFrame(
+        [("m1", "web", 7.0), ("m2", "db", 1.0)],
+        "message string, host string, n double",
+    )
+    sinks = route(df, {"hot": datadog_search("host:web AND n:>5")})
+    assert [r["message"] for r in sinks["hot"].collect()] == ["m1"]
+
+
+def test_syntax_errors_raise():
+    with pytest.raises(ValueError):
+        datadog_search("(host:foo")

@@ -86,6 +86,21 @@ def test_line_agg_halt_with(spark):
     ]
 
 
+def test_avro_protobuf_clear_error_without_jar(spark):
+    """The avro/protobuf codecs route to Spark's from_avro/
+    from_protobuf; without the jar the call fails with actionable
+    guidance (the jar-permitting contract, VERDICT r1 #7)."""
+    from vector_spark.sources.readers import decode_avro, decode_protobuf
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        decode_avro(
+            spark, F.lit(b"").cast("binary"),
+            '{"type":"record","name":"r","fields":[{"name":"x","type":"int"}]}',
+        )
+    with pytest.raises(RuntimeError, match="spark-protobuf"):
+        decode_protobuf(spark, F.lit(b"").cast("binary"), "M", b"\x00")
+
+
 def test_line_agg_continue_past(spark):
     # trailing-backslash continuation (line_agg.rs:33-37): a C-match
     # means the next line is part of the same message

@@ -34,6 +34,14 @@ def to_condition(cond: Column | str | bool) -> Column:
     raise TypeError(f"not a condition: {cond!r}")
 
 
+def datadog_search(query: str, **kwargs) -> Column:
+    """The DatadogSearch condition variant — see
+    :mod:`vector_spark.conditions_datadog`."""
+    from vector_spark.conditions_datadog import datadog_search as _dd
+
+    return _dd(query, **kwargs)
+
+
 def is_kind(kind: str, kind_col: str = "kind") -> Column:
     """IsLog/IsMetric/IsTrace over a kind discriminator column."""
     return F.col(kind_col) == kind

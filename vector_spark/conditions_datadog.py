@@ -1,0 +1,220 @@
+"""Datadog Search Syntax condition → Spark Column compiler.
+
+Reference: the `datadog_search` condition type
+(/root/reference/src/conditions/datadog_search.rs; syntax per the
+public Datadog log search docs).  The reference delegates parsing to
+the vrl crate's `datadog_search_syntax`; this is an independent
+recursive-descent implementation of the commonly used subset over FLAT
+event schemas:
+
+- ``*`` match-all, ``_exists_:field``, ``_missing_:field``
+- ``field:value`` facet equality (numbers/booleans coerced; ``*``
+  wildcards compile to anchored regex, datadog_filter::wildcard_regex)
+- ``field:"quoted phrase"`` exact string
+- bare ``keyword`` / ``"quoted phrase"`` → word-boundary match on the
+  default field (message), like datadog_filter::word_regex
+- ``-term`` / ``NOT term`` negation, ``AND`` / ``OR`` / implicit AND,
+  parentheses
+- ``field:>n  >=n  <n  <=n`` numeric comparisons
+- ``field:[a TO b]`` inclusive range
+- backslash escapes in values (``va\\ lue``, ``va\\*lue``)
+
+Not covered (documented): the tags-array recursion and the
+source/ddsource aliasing — both assume Datadog's reserved event shape,
+not a user schema.  ``@attr`` maps to column ``attr`` (strip the
+marker); pass ``resolver`` to customize.
+
+Null semantics: every leaf is null-safe (a missing/null field never
+matches), so ``NOT`` behaves like Datadog's, not like SQL ternary
+logic.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, functions as F
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() |
+        (?P<rparen>\)) |
+        (?P<quoted>"(?:\\.|[^"\\])*") |
+        (?P<term>(?:\\.|[^\s()"])+(?:"(?:\\.|[^"\\])*")?)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(q: str) -> list[str]:
+    out, i = [], 0
+    while i < len(q):
+        m = _TOKEN.match(q, i)
+        if not m:
+            raise ValueError(f"bad datadog-search syntax at {q[i:]!r}")
+        if m.lastgroup == "lparen":
+            out.append("(")
+        elif m.lastgroup == "rparen":
+            out.append(")")
+        else:
+            out.append(m.group(m.lastgroup))
+        i = m.end()
+    return out
+
+
+def _unescape(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s)
+
+
+class _Parser:
+    def __init__(self, tokens: list[str], leaf):
+        self.toks = tokens
+        self.pos = 0
+        self.leaf = leaf
+
+    def peek(self) -> str | None:
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def next(self) -> str:
+        if self.pos >= len(self.toks):
+            raise ValueError("unexpected end of query")
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def parse(self) -> Column:
+        c = self.or_expr()
+        if self.peek() is not None:
+            raise ValueError(f"trailing input at {self.toks[self.pos:]}")
+        return c
+
+    def or_expr(self) -> Column:
+        c = self.and_expr()
+        while self.peek() == "OR":
+            self.next()
+            c = c | self.and_expr()
+        return c
+
+    def and_expr(self) -> Column:
+        c = self.unary()
+        while (t := self.peek()) is not None and t not in (")", "OR"):
+            if t == "AND":
+                self.next()
+                continue
+            c = c & self.unary()
+        return c
+
+    def unary(self) -> Column:
+        t = self.peek()
+        if t in ("NOT", "-"):
+            self.next()
+            return ~self.unary()
+        if t is not None and t.startswith("-") and len(t) > 1:
+            self.toks[self.pos] = t[1:]
+            return ~self.unary()
+        return self.primary()
+
+    def primary(self) -> Column:
+        t = self.next()
+        if t == "(":
+            c = self.or_expr()
+            if self.next() != ")":
+                raise ValueError("unbalanced parentheses")
+            return c
+        # range values contain a space ("[a TO b]") and were split by the
+        # tokenizer — re-join  field:[a  TO  b]
+        if t.endswith(":[") or ":[" in t and not t.endswith("]"):
+            while not t.endswith("]") and self.peek() is not None:
+                t += " " + self.next()
+        return self.leaf(t)
+
+
+def _wildcard_to_regex(value: str) -> str:
+    parts = [re.escape(p) for p in value.split("*")]
+    return "^" + ".*".join(parts) + "$"
+
+
+def _word_regex(value: str) -> str:
+    parts = [re.escape(p) for p in value.split("*")]
+    return r"\b" + ".*".join(parts) + r"\b"
+
+
+def _null_safe(c: Column) -> Column:
+    return F.coalesce(c, F.lit(False))
+
+
+def datadog_search(
+    query: str,
+    *,
+    default_field: str = "message",
+    resolver=None,
+) -> Column:
+    """Compile a Datadog search query string to a boolean Column."""
+    resolve = resolver or (lambda name: F.col(name.lstrip("@")))
+
+    def facet_match(field: str, raw: str) -> Column:
+        col = resolve(field)
+        if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
+            return _null_safe(
+                col.cast("string") == _unescape(raw[1:-1])
+            )
+        m = re.match(r"^(>=|<=|>|<)(.+)$", raw)
+        if m:
+            op, num = m.group(1), float(m.group(2))
+            c = col.cast("double")
+            return _null_safe(
+                {"<": c < num, "<=": c <= num, ">": c > num, ">=": c >= num}[op]
+            )
+        m = re.match(r"^\[(.+?) TO (.+?)\]$", raw)
+        if m:
+            lo, hi = m.group(1), m.group(2)
+            try:
+                return _null_safe(
+                    col.cast("double").between(float(lo), float(hi))
+                )
+            except ValueError:
+                return _null_safe(
+                    col.cast("string").between(_unescape(lo), _unescape(hi))
+                )
+        value = _unescape(raw)
+        if "*" in raw.replace("\\*", ""):
+            # unescaped wildcard → anchored regex; escaped \* is literal
+            pattern = "^" + ".*".join(
+                re.escape(_unescape(p)) for p in re.split(r"(?<!\\)\*", raw)
+            ) + "$"
+            return _null_safe(col.cast("string").rlike(pattern))
+        if value in ("true", "false"):
+            return _null_safe(
+                (col.cast("string") == value)
+                | (col.cast("boolean") == (value == "true"))
+            )
+        return _null_safe(col.cast("string") == value)
+
+    def leaf(tok: str) -> Column:
+        if tok == "*":
+            return F.lit(True)
+        if tok.startswith('"'):
+            return _null_safe(
+                F.col(default_field)
+                .cast("string")
+                .rlike(_word_regex(_unescape(tok[1:-1])))
+            )
+        m = re.match(r'^([\w@.\-]+):(.*)$', tok)
+        if m and m.group(2):
+            field, raw = m.group(1), m.group(2)
+            if field == "_exists_":
+                return resolve(raw).isNotNull()
+            if field == "_missing_":
+                return resolve(raw).isNull()
+            return facet_match(field, raw)
+        # bare keyword → word-boundary match on the default field
+        return _null_safe(
+            F.col(default_field)
+            .cast("string")
+            .rlike(_word_regex(_unescape(tok)))
+        )
+
+    tokens = _tokenize(query.strip())
+    if not tokens:
+        return F.lit(True)
+    return _Parser(tokens, leaf).parse()

@@ -543,6 +543,40 @@ def q_reduce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "datadog_search_counts",
+    _ENRICH_CTE
+    + """
+SELECT
+  CAST(count(CASE WHEN level = 'error' THEN 1 END) AS BIGINT) AS n_error,
+  CAST(count(CASE WHEN http_status >= 500 THEN 1 END) AS BIGINT) AS n_5xx,
+  CAST(count(CASE WHEN msg LIKE '%timeout%' THEN 1 END) AS BIGINT) AS n_timeout,
+  CAST(count(CASE WHEN level = 'warn' AND retry THEN 1 END) AS BIGINT) AS n_warn_retry,
+  CAST(count(CASE WHEN service IN ('auth', 'billing') THEN 1 END) AS BIGINT) AS n_svc
+FROM enriched""",
+)
+def q_datadog_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datadog-search condition DSL compiled to Columns
+    (src/conditions/datadog_search.rs) applied over the parsed stream:
+    facet equality, numeric comparison, wildcard, boolean AND, OR."""
+    from vector_spark.conditions_datadog import datadog_search
+
+    df = _enriched(spark, sf_dir)
+    conds = {
+        "n_error": datadog_search("level:error"),
+        "n_5xx": datadog_search("http_status:>=500"),
+        "n_timeout": datadog_search("msg:*timeout*"),
+        "n_warn_retry": datadog_search("level:warn AND retry:true"),
+        "n_svc": datadog_search("service:auth OR service:billing"),
+    }
+    return df.agg(
+        *[
+            F.count(F.when(c, F.lit(1))).alias(name)
+            for name, c in conds.items()
+        ]
+    )
+
+
+@register(
     "parse_xml_roundtrip",
     transcripts_cte(N_ORACLE)
     + """

@@ -81,6 +81,55 @@ def _decode_gelf(col: Column, schema: str) -> Column:
     )
 
 
+def decode_avro(spark: SparkSession, col: Column, avro_schema: str) -> Column:
+    """Avro codec (lib/codecs/src/decoding/format/avro/) →
+    `pyspark.sql.avro.functions.from_avro`.  The spark-avro jar is not
+    bundled in this container; absence raises a clear error at call
+    time (same contract as the kafka source) — on a cluster with the
+    jar the identical call works unchanged."""
+    from pyspark.sql.avro.functions import from_avro
+
+    _probe_codec(
+        spark, lambda c: from_avro(c, avro_schema), "avro", "spark-avro"
+    )
+    return from_avro(col, avro_schema)
+
+
+def decode_protobuf(
+    spark: SparkSession,
+    col: Column,
+    message_name: str,
+    descriptor_set: bytes,
+) -> Column:
+    """Protobuf codec (lib/codecs/src/decoding/format/protobuf.rs:
+    desc_file + message_type) → `from_protobuf` with a binary
+    FileDescriptorSet.  Clear error without the spark-protobuf jar."""
+    from pyspark.sql.protobuf.functions import from_protobuf
+
+    _probe_codec(
+        spark,
+        lambda c: from_protobuf(
+            c, message_name, binaryDescriptorSet=descriptor_set
+        ),
+        "protobuf",
+        "spark-protobuf",
+    )
+    return from_protobuf(col, message_name, binaryDescriptorSet=descriptor_set)
+
+
+def _probe_codec(spark: SparkSession, builder, codec: str, jar: str) -> None:
+    try:
+        spark.range(1).select(
+            builder(F.lit(b"").cast("binary"))
+        ).schema  # forces analysis
+    except Exception as exc:
+        raise RuntimeError(
+            f"{codec} codec requires the {jar} package on the Spark "
+            f"classpath (not bundled in this environment); the call "
+            f"site is unchanged once it is present: {exc}"
+        ) from exc
+
+
 _DECODERS = {
     "bytes": lambda c, s: c,
     "json": _decode_json,
