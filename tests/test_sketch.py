@@ -1,0 +1,82 @@
+"""DDSketch / Distribution / Set metric value types: the merge
+invariant (re-aggregation == direct aggregation, exact map equality)
+and the alpha relative-error guarantee."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.operators.sketch import (
+    ddsketch,
+    ddsketch_merge,
+    ddsketch_quantile,
+    distribution,
+    set_values,
+)
+
+
+@pytest.fixture(scope="module")
+def latencies(spark):
+    # deterministic skewed positives + a few zeros, two groups x 4 windows
+    df = spark.range(8000).select(
+        (F.col("id") % 2).cast("string").alias("svc"),
+        (F.col("id") % 4).alias("win"),
+        F.when(F.col("id") % 100 == 0, 0.0)
+        .otherwise((F.pmod(F.col("id") * 2654435761, F.lit(997)) + 1).cast("double"))
+        .alias("v"),
+    )
+    return df.persist()
+
+
+def test_merge_equals_direct(latencies):
+    direct = ddsketch(latencies, ["svc"], "v")
+    per_window = ddsketch(latencies, ["svc", "win"], "v")
+    merged = ddsketch_merge(per_window, ["svc"])
+    a = {r["svc"]: (dict(r["sketch"]), r["n_zero"], r["total"])
+         for r in direct.collect()}
+    b = {r["svc"]: (dict(r["sketch"]), r["n_zero"], r["total"])
+         for r in merged.collect()}
+    assert a == b  # exact: merge loses nothing
+
+
+def test_quantile_relative_error(latencies):
+    sk = ddsketch(latencies, ["svc"], "v")
+    out = sk.select(
+        "svc",
+        *[
+            ddsketch_quantile(
+                F.col("sketch"), F.col("n_zero"), F.col("total"), q
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.95, 0.99)
+        ],
+    )
+    est = {r["svc"]: r for r in out.collect()}
+    pdf = latencies.toPandas()
+    for svc in ("0", "1"):
+        vals = sorted(pdf[pdf.svc == svc]["v"])
+        for q in (0.5, 0.95, 0.99):
+            exact = vals[min(len(vals) - 1, int(q * len(vals)))]
+            got = est[svc][f"p{int(q * 100)}"]
+            assert abs(got - exact) / exact <= 0.03, (svc, q, got, exact)
+
+
+def test_quantile_zero_bin(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0)] * 9 + [("a", 100.0)], "g string, v double"
+    )
+    sk = ddsketch(df, ["g"], "v")
+    p50 = sk.select(
+        ddsketch_quantile(F.col("sketch"), F.col("n_zero"), F.col("total"), 0.5)
+    ).first()[0]
+    assert p50 == 0.0
+
+
+def test_distribution_and_set(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 2.0), ("b", 3.0)], "g string, v double"
+    )
+    d = {r["g"]: dict(r["dist"]) for r in distribution(df, ["g"], "v").collect()}
+    assert d == {"a": {1.0: 2, 2.0: 1}, "b": {3.0: 1}}
+    s = {r["g"]: list(r["values"]) for r in set_values(df, ["g"], "v").collect()}
+    assert s == {"a": [1.0, 2.0], "b": [3.0]}

@@ -31,18 +31,27 @@ def sample(
     group_by: list[str] | None = None,
     exclude: Column | str | bool | None = None,
     stamp: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Hash-consistent 1-in-``rate`` sampling.
 
     Hash input = (group_by..., key) so each group samples independently
-    (the per-group counter analogue).
+    (the per-group counter analogue).  ``portable=True`` swaps
+    xxhash64 for the md5-prefix hash both engines can compute, putting
+    the whole decision under the DuckDB oracle gate.
     """
     key_cols: list[Column] = [F.col(c) for c in (group_by or [])]
     if key_field:
         key_cols.append(F.col(key_field))
     if not key_cols:
         key_cols = [F.monotonically_increasing_id()]
-    keep = F.pmod(F.xxhash64(*key_cols), F.lit(rate)) == 0
+    if portable:
+        from vector_spark.datapipe.dedup import portable_hash60
+
+        h = portable_hash60(F.concat_ws("|", *key_cols))
+    else:
+        h = F.xxhash64(*key_cols)
+    keep = F.pmod(h, F.lit(rate)) == 0
     if exclude is not None:
         keep = keep | to_condition(exclude)
     out = df.filter(keep)
@@ -69,3 +78,25 @@ def sample_mod(
 def sample_ratio(df: DataFrame, ratio: float, seed: int = 42) -> DataFrame:
     """Bernoulli ratio sampling (non-key mode) — Spark-native."""
     return df.sample(fraction=ratio, seed=seed)
+
+
+def sample_ratio_hash(
+    df: DataFrame,
+    ratio: float,
+    key_expr: Column,
+    *,
+    stamp: bool = True,
+) -> DataFrame:
+    """Deterministic ``ratio`` sampling: keep when the portable hash of
+    the key lands in the first ``ratio`` slice of [0, 1e6) — the
+    reproducible (and oracle-checkable) analogue of the reference's
+    random ratio mode (sample/config.rs `ratio`)."""
+    from vector_spark.datapipe.dedup import portable_hash60
+
+    out = df.filter(
+        F.pmod(portable_hash60(key_expr), F.lit(1_000_000))
+        < int(ratio * 1_000_000)
+    )
+    if stamp:
+        out = out.withColumn("sample_rate", F.lit(1.0 / ratio))
+    return out

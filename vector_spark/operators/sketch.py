@@ -1,0 +1,184 @@
+"""Mergeable metric value types: DDSketch, Distribution, Set.
+
+Reference: `MetricValue::{Set, Distribution, Sketch(AgentDDSketch)}`
+(/root/reference/lib/vector-core/src/event/metric/value.rs:34-83) —
+the value types that let aggregated metrics be RE-aggregated across
+windows/hosts without losing accuracy guarantees.
+
+Spark design: a sketch is a COLUMN (map<int,bigint> of log-bucket →
+count, plus a zero counter), built with two groupBys (map-side
+combinable), merged by exploding + re-summing — so cross-window
+rollups are ordinary shuffles, no UDAF, no Python.  Quantile
+extraction is a pure higher-order-function fold over the sorted
+entries.
+
+DDSketch math (relative-error alpha): gamma = (1+alpha)/(1-alpha),
+bucket(x) = ceil(log_gamma x) for x > 0; estimate for bucket b is
+2·gamma^b / (gamma+1) — within alpha of any value in the bucket.
+Negative values are out of scope (log/byte/latency metrics are
+non-negative); zeros are counted separately like the reference's
+AgentDDSketch zero bin.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_ALPHA = 0.01
+
+
+def _gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def bucket_index(value: Column, alpha: float = DEFAULT_ALPHA) -> Column:
+    """ceil(log_gamma(x)) for x > 0; null for zero/negative (tracked
+    separately)."""
+    g = _gamma(alpha)
+    return F.when(
+        value > 0, F.ceil(F.log(value.cast("double")) / math.log(g)).cast("int")
+    )
+
+
+def ddsketch(
+    df: DataFrame,
+    group_by: list[str],
+    value_col: str,
+    *,
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """Build one DDSketch per group: (group..., sketch map<int,bigint>,
+    n_zero, total).  Two groupBys, both with map-side partial
+    aggregation; the sketch column is exact-equality comparable, so
+    merge-then-build == build-directly is a testable invariant."""
+    b = bucket_index(F.col(value_col), alpha)
+    per_bucket = (
+        df.withColumn("_b", b)
+        .groupBy(*group_by, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        per_bucket.groupBy(*group_by)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_b").isNotNull(),
+                            F.struct(F.col("_b").alias("key"),
+                                     F.col("_c").alias("value")),
+                        )
+                    )
+                )
+            ).alias("sketch"),
+            F.sum(F.when(F.col("_b").isNull(), F.col("_c")).otherwise(0))
+            .alias("n_zero"),
+            F.sum("_c").alias("total"),
+        )
+    )
+
+
+def ddsketch_merge(
+    df: DataFrame,
+    group_by: list[str],
+    *,
+    sketch_col: str = "sketch",
+    zero_col: str = "n_zero",
+    total_col: str = "total",
+) -> DataFrame:
+    """Merge sketches across a coarser grouping (e.g. window → day):
+    explode the bucket maps, re-sum counts per bucket, rebuild.  This
+    is the Sketch-type merge the plain quantile aggregates can't do."""
+    exploded = df.select(
+        *group_by,
+        F.explode_outer(F.col(sketch_col)).alias("_b", "_c"),
+    )
+    # zero/total count once per input sketch, not per exploded bucket
+    zt = df.groupBy(*group_by).agg(
+        F.sum(zero_col).alias("n_zero"), F.sum(total_col).alias("total")
+    )
+    per_bucket = (
+        exploded.filter(F.col("_b").isNotNull())
+        .groupBy(*group_by, "_b")
+        .agg(F.sum("_c").alias("_c"))
+    )
+    sk = per_bucket.groupBy(*group_by).agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_b").alias("key"), F.col("_c").alias("value"))
+                )
+            )
+        ).alias("sketch")
+    )
+    return zt.join(sk, group_by, "left")
+
+
+def ddsketch_quantile(
+    sketch: Column,
+    n_zero: Column,
+    total: Column,
+    q: float,
+    *,
+    alpha: float = DEFAULT_ALPHA,
+) -> Column:
+    """Quantile estimate from a sketch column — a pure fold over the
+    sorted (bucket, count) entries, no UDF.  rank = ceil(q·total);
+    zeros occupy the lowest ranks."""
+    g = _gamma(alpha)
+    rank = F.ceil(F.lit(q) * total.cast("double")).cast("long")
+    entries = F.array_sort(F.map_entries(sketch))
+    # fold: (cum, bucket) — first bucket whose cumulative count (after
+    # zeros) reaches the rank
+    found = F.aggregate(
+        entries,
+        F.struct(
+            n_zero.cast("long").alias("cum"),
+            F.lit(None).cast("int").alias("bucket"),
+        ),
+        lambda acc, e: F.struct(
+            (acc.getField("cum") + e.getField("value")).alias("cum"),
+            F.when(
+                acc.getField("bucket").isNull()
+                & (acc.getField("cum") + e.getField("value") >= rank),
+                e.getField("key"),
+            ).otherwise(acc.getField("bucket")).alias("bucket"),
+        ),
+    ).getField("bucket")
+    est = F.lit(2.0) * F.pow(F.lit(g), found.cast("double")) / F.lit(g + 1.0)
+    # rank satisfied inside the zero bin → estimate 0
+    return F.round(
+        F.when(rank <= n_zero.cast("long"), F.lit(0.0)).otherwise(est), 6
+    )
+
+
+def distribution(
+    df: DataFrame, group_by: list[str], value_col: str
+) -> DataFrame:
+    """Distribution value type: (value, sample_count) pairs — exact and
+    mergeable (value.rs:40: samples with rates)."""
+    return (
+        df.groupBy(*group_by, value_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(*group_by)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(value_col).alias("key"), F.col("n").alias("value")
+                        )
+                    )
+                )
+            ).alias("dist")
+        )
+    )
+
+
+def set_values(df: DataFrame, group_by: list[str], value_col: str) -> DataFrame:
+    """Set value type: distinct values per group (value.rs:34)."""
+    return df.groupBy(*group_by).agg(
+        F.array_sort(F.collect_set(value_col)).alias("values")
+    )

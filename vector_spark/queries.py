@@ -758,6 +758,48 @@ def q_sample_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_mod(df, 7, key).select("conv_id", "turn_idx", "sample_rate")
 
 
+_H60_SQL = "try_cast(concat('0x', substr(md5({e}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "sample_ratio_0p2",
+    transcripts_cte(N_ORACLE)
+    + f"""
+SELECT conv_id, turn_idx, 5.0 AS sample_rate FROM transcripts
+WHERE {_H60_SQL.format(e="concat(conv_id, '#', turn_idx)")} % 1000000
+      < 200000""",
+)
+def q_sample_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ratio sampling (the reference's `ratio` mode made
+    reproducible): hash slice of [0, 1e6)."""
+    from vector_spark.operators.sample import sample_ratio_hash
+
+    df = load_transcripts(spark, sf_dir)
+    key = F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string"))
+    return sample_ratio_hash(df, 0.2, key).select(
+        "conv_id", "turn_idx", "sample_rate"
+    )
+
+
+@register(
+    "sample_group_consistent",
+    transcripts_cte(N_ORACLE)
+    + f"""
+SELECT conv_id, turn_idx, role, 4 AS sample_rate FROM transcripts
+WHERE {_H60_SQL.format(e="concat_ws('|', role, conv_id)")} % 4 = 0""",
+)
+def q_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_by + key_field consistent sampling
+    (sample/transform.rs:62-93): each (role, conv) pair samples
+    independently, same key always same decision."""
+    from vector_spark.operators.sample import sample
+
+    df = load_transcripts(spark, sf_dir)
+    return sample(
+        df, rate=4, key_field="conv_id", group_by=["role"], portable=True
+    ).select("conv_id", "turn_idx", "role", "sample_rate")
+
+
 @register(
     "throttle_5_per_10m",
     transcripts_cte(N_ORACLE)
@@ -915,6 +957,95 @@ def q_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("latency_ms", F.lit(0.95)).alias("p95"),
         F.percentile("latency_ms", F.lit(0.99)).alias("p99"),
         F.count("latency_ms").alias("n"),
+    )
+
+
+_DD_GAMMA = 1.01 / 0.99  # alpha = 0.01
+
+
+def _dd_quantile_sql(q: float) -> str:
+    g = repr(_DD_GAMMA)
+    return (
+        f"CASE WHEN ceil({q} * total) <= nz THEN 0.0 "
+        f"ELSE round(2 * pow({g}, b{int(q * 100)}) / ({g} + 1), 6) END"
+    )
+
+
+@register(
+    "ddsketch_quantiles",
+    _ENRICH_CTE
+    + f""",
+lat AS (
+  SELECT service, CAST(latency_ms AS DOUBLE) AS v
+  FROM enriched WHERE format = 'json' AND latency_ms IS NOT NULL
+),
+bk AS (
+  SELECT service,
+         CASE WHEN v > 0
+              THEN CAST(ceil(ln(v) / ln({repr(_DD_GAMMA)})) AS INT) END AS b,
+         count(*) AS c
+  FROM lat GROUP BY 1, 2
+),
+tot AS (
+  SELECT service, CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN b IS NULL THEN c ELSE 0 END) AS BIGINT) AS nz
+  FROM bk GROUP BY 1
+),
+cum AS (
+  SELECT service, b, CAST(sum(c) OVER (
+    PARTITION BY service ORDER BY b
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM bk WHERE b IS NOT NULL
+),
+qx AS (
+  SELECT c.service,
+         min(CASE WHEN t.nz + c.cum >= ceil(0.5 * t.total) THEN c.b END) AS b50,
+         min(CASE WHEN t.nz + c.cum >= ceil(0.95 * t.total) THEN c.b END) AS b95,
+         min(CASE WHEN t.nz + c.cum >= ceil(0.99 * t.total) THEN c.b END) AS b99,
+         any_value(t.total) AS total, any_value(t.nz) AS nz
+  FROM cum c JOIN tot t USING (service) GROUP BY c.service
+)
+SELECT service,
+       {_dd_quantile_sql(0.5)} AS p50,
+       {_dd_quantile_sql(0.95)} AS p95,
+       {_dd_quantile_sql(0.99)} AS p99,
+       total
+FROM qx""",
+)
+def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch metric value type (vector-core metric/value.rs:83):
+    per-(service, minute) sketches MERGED up to service level, then
+    quantiles extracted from the merged sketch — the cross-window
+    re-aggregation plain percentiles can't do.  The oracle recomputes
+    the same log-bucket math in SQL, covering bucketing, merge
+    associativity, and quantile extraction."""
+    from vector_spark.operators.aggregate import window_start
+    from vector_spark.operators.sketch import (
+        ddsketch,
+        ddsketch_merge,
+        ddsketch_quantile,
+    )
+
+    df = (
+        _enriched(spark, sf_dir)
+        .filter((F.col("format") == "json") & F.col("latency_ms").isNotNull())
+        .select(
+            "service",
+            window_start(F.col("ts"), 60).alias("win"),
+            F.col("latency_ms").cast("double").alias("v"),
+        )
+    )
+    per_window = ddsketch(df, ["service", "win"], "v")
+    merged = ddsketch_merge(per_window, ["service"])
+    return merged.select(
+        "service",
+        *[
+            ddsketch_quantile(
+                F.col("sketch"), F.col("n_zero"), F.col("total"), q
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.95, 0.99)
+        ],
+        "total",
     )
 
 
