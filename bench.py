@@ -131,6 +131,23 @@ def main() -> None:
         .collect(),
     )
 
+    # sf1 pipeline (6M turns): 10x the headline scale, catches anything
+    # the 600k run hides (spills, skew, partition sizing)
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+        big_n = 6_000_000
+        big = transcripts_table(spark, big_n)
+        big.count()  # materialize the cache outside timings
+
+        def _pipeline_sf1() -> None:
+            from vector_spark.plans.transcript_pipeline import pipeline_stats
+
+            pipeline_stats(spark, big).write.mode("overwrite").parquet(
+                "/tmp/vector_spark_bench_out_sf1"
+            )
+
+        bench("pipeline_sf1", _pipeline_sf1)
+        timings["_sf1_turns_per_sec"] = round(big_n / timings["pipeline_sf1"], 1)
+
     emit(timings, n_turns, cpus)
 
 

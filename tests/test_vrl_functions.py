@@ -217,3 +217,40 @@ def test_sha3_and_hmac(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         vrl.sha3(F.lit("x"), "SHA3-123")
+
+
+def test_base16_percent_codecs(spark):
+    assert _one(spark, vrl.encode_base16(F.lit("abc"))) == "616263"
+    assert _one(spark, vrl.decode_base16(F.lit("616263"))) == "abc"
+    assert _one(spark, vrl.encode_percent(F.lit("a b&c"))) == "a+b%26c"
+    assert _one(spark, vrl.decode_percent(F.lit("a%20b%26c"))) == "a b&c"
+
+
+def test_parse_query_string(spark):
+    v = _one(spark, vrl.parse_query_string(F.lit("?a=1&b=two%20x&flag=")))
+    assert v == {"a": "1", "b": "two x", "flag": ""}
+    # later duplicate wins
+    v2 = _one(spark, vrl.parse_query_string(F.lit("k=1&k=2")))
+    assert v2 == {"k": "2"}
+
+
+def test_parse_int_radix(spark):
+    assert _one(spark, vrl.parse_int(F.lit("42"))) == 42
+    assert _one(spark, vrl.parse_int(F.lit("ff"), base=16)) == 255
+    assert _one(spark, vrl.parse_int(F.lit("101"), base=2)) == 5
+    assert _one(spark, vrl.parse_int(F.lit("zz"))) is None
+
+
+def test_nullish_and_empty(spark):
+    assert _one(spark, vrl.is_nullish(F.lit("  "))) is True
+    assert _one(spark, vrl.is_nullish(F.lit("-"))) is True
+    assert _one(spark, vrl.is_nullish(F.lit("x"))) is False
+    assert _one(spark, vrl.is_empty(F.lit(""))) is True
+    assert _one(spark, vrl.is_empty(F.lit("a"))) is False
+
+
+def test_case_conversions(spark):
+    assert _one(spark, vrl.snakecase(F.lit("inputFieldName"))) == "input_field_name"
+    assert _one(spark, vrl.kebabcase(F.lit("input_field name"))) == "input-field-name"
+    assert _one(spark, vrl.camelcase(F.lit("input-field-name"))) == "inputFieldName"
+    assert _one(spark, vrl.pascalcase(F.lit("input field_name"))) == "InputFieldName"

@@ -621,6 +621,125 @@ def ip_subnet(col: Column, bits: int) -> Column:
     )
 
 
+def encode_base16(col: Column) -> Column:
+    return F.hex(col.cast("binary"))
+
+
+def decode_base16(col: Column) -> Column:
+    return F.unhex(col).cast("string")
+
+
+def encode_percent(col: Column) -> Column:
+    """VRL encode_percent — url_encode is a Spark builtin."""
+    return F.url_encode(col)
+
+
+def decode_percent(col: Column) -> Column:
+    return F.url_decode(col)
+
+
+def parse_query_string(col: Column) -> Column:
+    """VRL parse_query_string: 'a=1&b=two' → map (later duplicate key
+    wins, like the reference's BTreeMap insert)."""
+    pairs = F.split(F.regexp_replace(col, r"^\?", ""), "&")
+    kvs = F.filter(pairs, lambda p: p != "")
+    entries = F.transform(
+        kvs,
+        lambda p: F.struct(
+            F.url_decode(F.regexp_extract(p, "^([^=]*)", 1)).alias("key"),
+            F.url_decode(
+                F.regexp_extract(p, "^[^=]*=?(.*)$", 1)
+            ).alias("value"),
+        ),
+    )
+    # last duplicate wins: drop any entry with a later same-key entry
+    # (map_from_entries raises on duplicates under the default policy)
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(
+                entries, i + 2, F.greatest(F.size(entries) - i - 1, F.lit(0))
+            ),
+            lambda x: x.getField("key") == e.getField("key"),
+        ),
+    )
+    return F.map_from_entries(deduped)
+
+
+def parse_int(col: Column, base: int = 10) -> Column:
+    """VRL parse_int with radix (fallible)."""
+    if base == 10:
+        return col.try_cast("long")
+    return F.conv(col, base, 10).try_cast("long")
+
+
+# --------------------------------------------------------------------------
+# Number
+
+
+def round_num(col: Column, precision: int = 0) -> Column:
+    return F.round(col, precision)
+
+
+floor_num = F.floor
+ceil_num = F.ceil
+abs_num = F.abs
+mod = F.pmod
+
+
+# --------------------------------------------------------------------------
+# Type checks
+
+
+def is_empty(col: Column) -> Column:
+    """VRL is_empty over string/array/map."""
+    return F.coalesce(F.length(col.cast("string")) == 0, F.lit(True))
+
+
+def is_nullish(col: Column) -> Column:
+    """VRL is_nullish: null, empty, whitespace-only, or '-'."""
+    s = F.trim(col.cast("string"))
+    return col.isNull() | (s == "") | (s == "-")
+
+
+# --------------------------------------------------------------------------
+# String case conversions (VRL camelcase/snakecase/kebabcase/pascalcase)
+
+
+def _words(col: Column) -> Column:
+    # split camelCase / snake_case / kebab-case / spaces into words
+    spaced = F.regexp_replace(col, r"([a-z0-9])([A-Z])", r"$1 $2")
+    return F.filter(
+        F.split(F.lower(spaced), r"[\s_\-]+"), lambda w: w != ""
+    )
+
+
+def snakecase(col: Column) -> Column:
+    return F.array_join(_words(col), "_")
+
+
+def kebabcase(col: Column) -> Column:
+    return F.array_join(_words(col), "-")
+
+
+def camelcase(col: Column) -> Column:
+    ws = _words(col)
+    return F.concat(
+        F.coalesce(F.get(ws, 0), F.lit("")),
+        F.array_join(
+            F.transform(
+                F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+                F.initcap,
+            ),
+            "",
+        ),
+    )
+
+
+def pascalcase(col: Column) -> Column:
+    return F.array_join(F.transform(_words(col), F.initcap), "")
+
+
 # --------------------------------------------------------------------------
 # System (driver-resolved constants, like aws_ec2_metadata enrichment)
 
