@@ -254,3 +254,31 @@ def test_case_conversions(spark):
     assert _one(spark, vrl.kebabcase(F.lit("input_field name"))) == "input-field-name"
     assert _one(spark, vrl.camelcase(F.lit("input-field-name"))) == "inputFieldName"
     assert _one(spark, vrl.pascalcase(F.lit("input field_name"))) == "InputFieldName"
+
+
+def test_parse_apache_and_logfmt_aliases(spark):
+    line = ('203.0.113.9 - alice [17/Aug/2026:10:00:00 +0000] '
+            '"GET /x HTTP/1.1" 200 512')
+    v = _one(spark, vrl.parse_apache_log(F.lit(line)))
+    assert v is not None and v["client_ip"] == "203.0.113.9"
+    kv = _one(spark, vrl.parse_logfmt(F.lit("a=1 b=two")))
+    assert kv == {"a": "1", "b": "two"}
+
+
+def test_parse_bytes(spark):
+    assert _one(spark, vrl.parse_bytes(F.lit("1.5MiB"))) == 1572864
+    assert _one(spark, vrl.parse_bytes(F.lit("2kB"))) == 2000
+    assert _one(spark, vrl.parse_bytes(F.lit("7B"))) == 7
+    assert _one(spark, vrl.parse_bytes(F.lit("nope"))) is None
+
+
+def test_strip_ansi_and_redact(spark):
+    colored = "\x1b[31mred\x1b[0m plain"
+    assert _one(spark, vrl.strip_ansi_escape_codes(F.lit(colored))) == "red plain"
+    msg = "ssn 123-45-6789 mail a@b.com ip 10.0.0.1"
+    out = _one(spark, vrl.redact(
+        F.lit(msg), ["us_social_security_number", "email", "ipv4"]))
+    assert out == "ssn [REDACTED] mail [REDACTED] ip [REDACTED]"
+    # raw regex filter
+    assert _one(spark, vrl.redact(F.lit("key=secret123"), [r"secret\w+"])) == \
+        "key=[REDACTED]"

@@ -213,6 +213,41 @@ def parse_nginx_log(col: Column) -> Column:
     )
 
 
+def parse_apache_log(col: Column) -> Column:
+    """VRL parse_apache_log(format: 'common'/'combined' prefix) — the
+    shared anchored grok-compiled regex from the parse stage."""
+    from vector_spark.functions.parse import APACHE_ANCHORED, APACHE_FIELDS
+
+    return regex_extract_struct(col, APACHE_ANCHORED, APACHE_FIELDS)
+
+
+#: VRL parse_common_log — alias; the CLF fields are the apache set
+parse_common_log = parse_apache_log
+
+
+def parse_logfmt(col: Column) -> Column:
+    """VRL parse_logfmt — key=value pairs to a map."""
+    return parse_key_value(col)
+
+
+_BYTES_UNITS = [
+    ("TiB", 1024**4), ("GiB", 1024**3), ("MiB", 1024**2), ("KiB", 1024),
+    ("TB", 10**12), ("GB", 10**9), ("MB", 10**6), ("kB", 10**3),
+    ("B", 1),
+]
+
+
+def parse_bytes(col: Column) -> Column:
+    """VRL parse_bytes: '1.5MiB' → 1572864 (binary + SI units,
+    longest-suffix-first so 'MiB' never matches as 'B')."""
+    num = F.regexp_extract(col, r"^([0-9.]+)", 1).try_cast("double")
+    unit = F.regexp_extract(col, r"([A-Za-z]+)$", 1)
+    factor = F.lit(None).cast("double")
+    for name, mult in _BYTES_UNITS:
+        factor = F.when(unit == name, F.lit(float(mult))).otherwise(factor)
+    return (num * factor).cast("long")
+
+
 def parse_user_agent(col: Column) -> Column:
     """VRL parse_user_agent (fast mode): browser/os/device families via
     ordered regex alternatives — a Column-only re-expression of the
@@ -381,6 +416,33 @@ def strip_whitespace(col: Column) -> Column:
 
 def match(col: Column, pattern: str) -> Column:
     return col.rlike(pattern)
+
+
+ANSI_ESCAPE_REGEX = r"\x1B(?:[@-Z\\-_]|\[[0-?]*[ -/]*[@-~])"
+
+
+def strip_ansi_escape_codes(col: Column) -> Column:
+    """VRL strip_ansi_escape_codes — CSI/escape sequences removed."""
+    return F.regexp_replace(col, ANSI_ESCAPE_REGEX, "")
+
+
+#: built-in redact patterns (VRL redact filters)
+REDACT_PATTERNS = {
+    "us_social_security_number": r"\b\d{3}-\d{2}-\d{4}\b",
+    "credit_card": r"\b(?:\d[ -]?){13,16}\b",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def redact(col: Column, filters: list[str], replacement: str = "[REDACTED]") -> Column:
+    """VRL redact(value, filters: [...]): built-in pattern names or raw
+    regex strings, each replaced globally."""
+    out = col
+    for f in filters:
+        pattern = REDACT_PATTERNS.get(f, f)
+        out = F.regexp_replace(out, pattern, replacement)
+    return out
 
 
 def slugify(col: Column) -> Column:

@@ -894,6 +894,56 @@ def q_log_to_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "metric_to_log_roundtrip",
+    _ENRICH_CTE
+    + """,
+m AS (
+  SELECT 'svc_requests' AS name, 'incremental' AS kind, 1.0 AS value,
+         service
+  FROM enriched WHERE service IS NOT NULL
+  UNION ALL
+  SELECT 'latency_gauge' AS name, 'absolute' AS kind,
+         CAST(latency_ms AS DOUBLE) AS value, service
+  FROM enriched WHERE service IS NOT NULL AND latency_ms IS NOT NULL
+)
+SELECT name, kind, round(sum(value), 6) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM m GROUP BY 1, 2""",
+)
+def q_metric_to_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metric_to_log (metric_to_log.rs:33-90): metric rows serialized
+    into a JSON log message; the query extracts the fields BACK from
+    the message, so the oracle gates that serialization round-trips
+    every value (name, kind, numeric value)."""
+    from vector_spark.operators import metric_to_log
+
+    df = _enriched(spark, sf_dir).filter(F.col("service").isNotNull())
+    metrics = log_to_metric(
+        df,
+        [
+            {"type": "counter", "name": "svc_requests",
+             "namespace": "pipeline", "tags": {"service": "service"}},
+            {"type": "gauge", "name": "latency_gauge",
+             "namespace": "pipeline", "field": "latency_ms",
+             "tags": {"service": "service"}},
+        ],
+    )
+    logs = metric_to_log(metrics)
+    return (
+        logs.select(
+            F.get_json_object("message", "$.name").alias("name"),
+            F.get_json_object("message", "$.kind").alias("kind"),
+            F.get_json_object("message", "$.value").cast("double").alias("v"),
+        )
+        .groupBy("name", "kind")
+        .agg(
+            F.round(F.sum("v"), 6).alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
     "incremental_to_absolute",
     _METRIC_CTE
     + """
