@@ -127,3 +127,41 @@ def test_turn_order_stable_under_repartition(spark, stream_src):
         )
         outs.append(sorted((r["conv_id"], r["all_text"]) for r in out.collect()))
     assert outs[0] == outs[1] == outs[2] == outs[3]
+
+
+def test_stream_built_memory_table_equals_batch_built(spark, stream_src):
+    """Streaming micro-batches write the memory enrichment table; the
+    resulting TTL/last-write-wins state must equal the state built from
+    the same rows in one batch write."""
+    import shutil as _shutil
+
+    from vector_spark.operators.memory_table import MemoryTable
+    from vector_spark.streaming.pipeline import write_stream_to_memory_table
+
+    d1, d2 = "/tmp/vs_memtbl_stream", "/tmp/vs_memtbl_batch"
+    for d in (d1, d2):
+        _shutil.rmtree(d, ignore_errors=True)
+    try:
+        cols = ["role", "tool", "ts", "conv_id", "turn_idx"]
+        stream = stream_transcripts(
+            spark, stream_src, max_files_per_trigger=1
+        ).select(*cols)
+        t_stream = MemoryTable(spark, d1, ["role"], ttl_sec=10**9,
+                               tiebreak_cols=["conv_id", "turn_idx"])
+        write_stream_to_memory_table(stream, t_stream)
+        assert len(t_stream._table.history()) > 1  # several micro-batches
+
+        batch = spark.read.parquet(stream_src).select(*cols)
+        t_batch = MemoryTable(spark, d2, ["role"], ttl_sec=10**9,
+                              tiebreak_cols=["conv_id", "turn_idx"])
+        t_batch.write(batch)
+
+        as_of = batch.agg(F.max("ts")).first()[0]
+        s1 = {tuple(r) for r in t_stream.state(F.lit(as_of))
+              .select("role", "tool", "conv_id", "turn_idx").collect()}
+        s2 = {tuple(r) for r in t_batch.state(F.lit(as_of))
+              .select("role", "tool", "conv_id", "turn_idx").collect()}
+        assert s1 == s2 and len(s1) > 0
+    finally:
+        for d in (d1, d2):
+            _shutil.rmtree(d, ignore_errors=True)

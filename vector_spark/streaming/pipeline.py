@@ -179,16 +179,47 @@ def write_stream_to_table(
         if batch_id in seen:
             return  # replayed batch after restart — already committed
         snap = table.commit(batch_df, mode=mode)
-        # tag the manifest with the batch id for replay detection
-        import json as _json
-        import os as _os
+        _tag_batch(table, snap, batch_id)
 
-        mpath = _os.path.join(table.manifest_dir, f"{snap}.json")
-        with open(mpath) as f:
-            m = _json.load(f)
-        m["batch_id"] = batch_id
-        with open(mpath, "w") as f:
-            _json.dump(m, f)
+    q = sdf.writeStream.outputMode("append").foreachBatch(commit_batch).start()
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def _tag_batch(table, snap: int, batch_id: int) -> None:
+    """Tag a snapshot manifest with its micro-batch id (replay detection)."""
+    import json as _json
+    import os as _os
+
+    mpath = _os.path.join(table.manifest_dir, f"{snap}.json")
+    with open(mpath) as f:
+        m = _json.load(f)
+    m["batch_id"] = batch_id
+    with open(mpath, "w") as f:
+        _json.dump(m, f)
+
+
+def write_stream_to_memory_table(
+    sdf: DataFrame,
+    mem_table,
+    *,
+    written_ts_col: str = "ts",
+) -> Any:
+    """Stream micro-batches INTO a memory enrichment table — the
+    streaming leg of 'the pipeline writes the table it later joins
+    against' (src/enrichment_tables/memory/table.rs:429: the table as a
+    sink).  Exactly-once via the same batch-id-tagged snapshot commits
+    as :func:`write_stream_to_table`; TTL/last-write-wins semantics
+    come from the table itself, so stream-built state == batch-built
+    state on the same rows (tested)."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        seen = {m.get("batch_id") for m in mem_table._table.history()}
+        if batch_id in seen:
+            return
+        snap = mem_table.write(batch_df, written_ts_col=written_ts_col)
+        _tag_batch(mem_table._table, snap, batch_id)
 
     q = sdf.writeStream.outputMode("append").foreachBatch(commit_batch).start()
     q.processAllAvailable()
