@@ -119,3 +119,37 @@ def test_salted_repartition_spreads_hot_conv(spark):
     h_salted = [n for _, n in partition_histogram(salted) if n > 0]
     assert len(h_salted) >= 4  # spread over multiple partitions
     assert max(h_salted) < hot["count"]
+
+
+def test_metrics_query_functions(spark, ckpt):
+    """VRL metrics-query surface (get/find/aggregate_vector_metrics)
+    over the pipeline's own manifest telemetry."""
+    from vector_spark.functions.metrics_query import MetricsStorage
+
+    calls = []
+    pipe = Pipeline(_build(calls), CKPT, inputs=["transcripts"])
+    t = transcripts_table(spark, 2000)
+    results = pipe.run(spark, {"transcripts": t})
+
+    ms = MetricsStorage()
+    ms.refresh_from_pipeline(pipe)
+
+    m = ms.get_metric("stage_rows_total", {"component_id": "parse"})
+    assert m is not None and m["value"] == 2000.0
+    assert ms.get_metric("stage_rows_total", {"component_id": "nope"}) is None
+    # find: one per committed stage
+    found = ms.find_metrics("stage_rows_total")
+    assert {f["tags"]["component_id"] for f in found} == {
+        "parse", "errors", "agg"
+    }
+    # aggregate: sum of rows across stages equals manifest totals
+    total = ms.aggregate_metrics("sum", "stage_rows_total")
+    assert total == sum(f["value"] for f in found)
+    assert ms.aggregate_metrics("max", "stage_rows_total") == 2000.0
+    assert ms.aggregate_metrics("avg", "nonexistent") is None
+    with pytest.raises(ValueError):
+        ms.aggregate_metrics("median", "stage_rows_total")
+    # joinable form
+    df = ms.as_df(spark)
+    assert df.filter("name = 'stage_wall_seconds'").count() == 3
+    assert results["agg"].count() > 0
