@@ -90,30 +90,43 @@ def ddsketch_merge(
 ) -> DataFrame:
     """Merge sketches across a coarser grouping (e.g. window → day):
     explode the bucket maps, re-sum counts per bucket, rebuild.  This
-    is the Sketch-type merge the plain quantile aggregates can't do."""
+    is the Sketch-type merge the plain quantile aggregates can't do.
+
+    Single pass over the input (one posexplode, two map-side-combining
+    groupBys, no join): zero/total ride along on each parent row's
+    FIRST exploded entry so they count once — a separate zt aggregation
+    would re-scan (and recompute) the whole upstream."""
+    once = F.col("_pos").isNull() | (F.col("_pos") == 0)
     exploded = df.select(
         *group_by,
-        F.explode_outer(F.col(sketch_col)).alias("_b", "_c"),
+        F.posexplode_outer(F.map_entries(F.col(sketch_col))).alias(
+            "_pos", "_e"
+        ),
+        F.col(zero_col).alias("_z"),
+        F.col(total_col).alias("_t"),
     )
-    # zero/total count once per input sketch, not per exploded bucket
-    zt = df.groupBy(*group_by).agg(
-        F.sum(zero_col).alias("n_zero"), F.sum(total_col).alias("total")
+    per_bucket = exploded.groupBy(
+        *group_by, F.col("_e.key").alias("_b")
+    ).agg(
+        F.sum("_e.value").alias("_c"),
+        F.sum(F.when(once, F.col("_z")).otherwise(0)).alias("_zp"),
+        F.sum(F.when(once, F.col("_t")).otherwise(0)).alias("_tp"),
     )
-    per_bucket = (
-        exploded.filter(F.col("_b").isNotNull())
-        .groupBy(*group_by, "_b")
-        .agg(F.sum("_c").alias("_c"))
-    )
-    sk = per_bucket.groupBy(*group_by).agg(
+    return per_bucket.groupBy(*group_by).agg(
         F.map_from_entries(
             F.array_sort(
                 F.collect_list(
-                    F.struct(F.col("_b").alias("key"), F.col("_c").alias("value"))
+                    F.when(
+                        F.col("_b").isNotNull(),
+                        F.struct(F.col("_b").alias("key"),
+                                 F.col("_c").alias("value")),
+                    )
                 )
             )
-        ).alias("sketch")
+        ).alias("sketch"),
+        F.sum("_zp").alias("n_zero"),
+        F.sum("_tp").alias("total"),
     )
-    return zt.join(sk, group_by, "left")
 
 
 def ddsketch_quantile(
