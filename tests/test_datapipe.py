@@ -78,6 +78,28 @@ def test_ann_recall_vs_exact(spark):
     assert len(approx_set) <= len(exact_set)
 
 
+def test_ivf_recall_vs_exact(spark):
+    """IVF coarse-quantizer ANN: recall vs brute force with n_probe=6
+    of 8 lists; deterministic centroids (fixed seed + ordered sample)."""
+    from vector_spark.datapipe.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    # like the LSH test: this corpus's true top-k sit at low cosine
+    # (~0.3), so high recall needs probing most lists (measured: 8/6 →
+    # 0.95, 8/4 → 0.69); real near-dup corpora need far fewer probes
+    approx = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=6).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"IVF recall {recall} too low (8 lists, probe 6)"
+    assert len(approx_set) <= len(exact_set)
+    # deterministic across reruns
+    again = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=6).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in again} == approx_set
+
+
 def test_near_dup_pairs_vs_exact_verifier(spark):
     """Bucketized near-dup (the scale path) against the all-pairs exact
     verifier: every planted clone pair must be recovered, and nothing

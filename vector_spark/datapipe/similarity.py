@@ -180,6 +180,110 @@ def all_pairs_cosine(
     )
 
 
+def ivf_train_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    *,
+    iters: int = 5,
+    sample_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[list[float]]:
+    """Train IVF coarse-quantizer centroids: mini k-means on a driver
+    sample (Lloyd iterations over numpy).  The SAMPLE is driver-side by
+    design — IVF training is always a bounded subsample (10-100k rows)
+    regardless of corpus size; assignment (the O(N) part) stays
+    distributed in :func:`ivf_assign`.  Deterministic: fixed seed +
+    deterministic sample ordering."""
+    import numpy as np
+
+    sdf = vectors.select(id_col, vec_col)
+    if sample_fraction is not None:
+        sdf = sdf.sample(fraction=sample_fraction, seed=seed)
+    rows = sdf.orderBy(id_col).limit(100_000).collect()
+    x = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T  # cosine == dot on normalized vectors
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return [list(map(float, c)) for c in cents]
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    *,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    list_col: str = "ivf_list",
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroid lists —
+    pure Column expressions (one dot product per centroid, a sort, a
+    slice + explode), fully distributed, no shuffle."""
+    sims = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(F.col(vec_col), F.array(*[F.lit(v) for v in c])), 9
+                ).alias("sim"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)
+    return vectors.withColumn(
+        list_col, F.explode(F.transform(top, lambda s: s.getField("c")))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    centroids: list[list[float]] | None = None,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the query's
+    ``n_probe`` nearest inverted lists (equi-join on list id) — the
+    second scale path next to hyperplane LSH (:func:`ann_topk`).
+    Vectors index into 1 list each; queries probe ``n_probe`` lists."""
+    if centroids is None:
+        centroids = ivf_train_centroids(vectors, k=n_lists,
+                                        id_col=id_col, vec_col=vec_col)
+    v = ivf_assign(vectors, centroids, n_probe=1, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vv"),
+        "ivf_list",
+    )
+    q = ivf_assign(queries, centroids, n_probe=n_probe, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "ivf_list"
+    )
+    scored = (
+        v.join(F.broadcast(q), "ivf_list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_vv")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("_rk").alias("rank"))
+    )
+
+
 def ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
