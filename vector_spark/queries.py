@@ -610,6 +610,65 @@ def q_parse_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "redact_pii",
+    transcripts_cte(N_ORACLE)
+    + r"""
+SELECT conv_id, turn_idx,
+       regexp_replace(
+         regexp_replace(text, '(?:\d{1,3}\.){3}\d{1,3}', '[REDACTED]', 'g'),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'
+       ) AS clean
+FROM transcripts""",
+)
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VRL redact with built-in filters (ipv4, email) over every turn —
+    the PII-scrubbing remap a log pipeline runs before persisting."""
+    from vector_spark.functions.vrl import redact
+
+    return load_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        redact(F.col("text"), ["ipv4", "email"]).alias("clean"),
+    )
+
+
+@register(
+    "nginx_roundtrip",
+    parsed_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx, client_ip AS client, http_status AS status,
+       http_bytes AS size, concat('GET ', http_url, ' HTTP/1.1') AS request
+FROM parsed WHERE format = 'apache'""",
+)
+def q_nginx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_nginx_log: apache-format turns re-rendered as nginx
+    'combined' lines, parsed back; the oracle recovers the fields
+    directly, so the parser is under the hash gate."""
+    from vector_spark.functions.parse import parse_transcripts
+    from vector_spark.functions.vrl import parse_nginx_log
+
+    df = parse_transcripts(load_transcripts(spark, sf_dir)).filter(
+        F.col("format") == "apache"
+    )
+    line = F.concat(
+        F.col("parsed.client_ip"), F.lit(" - "),
+        F.coalesce(F.col("parsed.username"), F.lit("-")),
+        F.lit(" ["), F.col("parsed.log_time"), F.lit('] "GET '),
+        F.col("parsed.http_url"), F.lit(' HTTP/1.1" '),
+        F.col("parsed.http_status").cast("string"), F.lit(" "),
+        F.col("parsed.http_bytes").cast("string"),
+        F.lit(' "-" "Mozilla/5.0"'),
+    )
+    parsed = parse_nginx_log(line)
+    return df.select(
+        "conv_id", "turn_idx",
+        parsed.getField("client").alias("client"),
+        parsed.getField("status").alias("status"),
+        parsed.getField("size").alias("size"),
+        parsed.getField("request").alias("request"),
+    )
+
+
+@register(
     "multiline_records",
     transcripts_cte(N_ORACLE)
     + """,
