@@ -141,3 +141,31 @@ def test_multi_transform_chain(spark):
     assert res["collapsed"].columns == ["conv_id", "all_text", "n", "ts", "ts_end"]
     assert res["sessions"].select("session_id").distinct().count() >= 1
     assert 0 < res["sampled"].count() < 6000
+
+
+def test_datadog_search_condition_in_config(spark):
+    """Typed conditions in configs like the reference's AnyCondition
+    (conditions/mod.rs:26-51): a route driven by Datadog search syntax."""
+    cfg = {
+        "sources": {"in": {"type": "transcripts", "n_turns": 6000}},
+        "transforms": {
+            "parsed": {"type": "remap", "inputs": ["in"]},
+            "routed": {
+                "type": "route", "inputs": ["parsed"],
+                "routes": {
+                    "errs": {"type": "datadog_search",
+                             "source": "level:error OR http_status:>=500"},
+                    "slow": {"type": "datadog_search",
+                             "source": "latency_ms:>1500"},
+                },
+            },
+        },
+        "sinks": {},
+    }
+    outs = build_topology(spark, cfg)
+    parsed = outs["parsed"]
+    errs = outs["routed"]["errs"]
+    want = parsed.filter("level = 'error' OR http_status >= 500")
+    assert errs.count() == want.count() > 0
+    slow = outs["routed"]["slow"]
+    assert slow.count() == parsed.filter("latency_ms > 1500").count() > 0

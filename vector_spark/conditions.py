@@ -18,12 +18,15 @@ from pyspark.sql import Column, functions as F
 ConditionLike = "Column | str | bool"
 
 
-def to_condition(cond: Column | str | bool) -> Column:
+def to_condition(cond: "Column | str | bool | dict") -> Column:
     """Normalize a condition spec into a boolean Column.
 
     - Column  → as-is (must be boolean)
     - str     → Spark SQL expression (the VRL-predicate analogue)
     - bool    → AlwaysPass / AlwaysFail
+    - dict    → typed condition like the reference's AnyCondition
+      (conditions/mod.rs:26-51): ``{"type": "vrl"|"sql", "source":
+      expr}`` or ``{"type": "datadog_search", "source": query}``
     """
     if isinstance(cond, Column):
         return cond
@@ -31,6 +34,16 @@ def to_condition(cond: Column | str | bool) -> Column:
         return F.expr(cond)
     if isinstance(cond, bool):
         return F.lit(cond)
+    if isinstance(cond, dict):
+        typ = cond.get("type", "sql")
+        src = cond["source"]
+        if typ in ("sql", "vrl"):
+            return F.expr(src)
+        if typ == "datadog_search":
+            return datadog_search(
+                src, default_field=cond.get("default_field", "message")
+            )
+        raise TypeError(f"unknown condition type {typ!r}")
     raise TypeError(f"not a condition: {cond!r}")
 
 
