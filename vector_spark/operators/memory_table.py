@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from vector_spark.sources.table import SnapshotTable
 
@@ -106,16 +106,27 @@ class MemoryTable:
 
     def state(self, as_of: Column | str) -> DataFrame:
         """The key→value map as of event time ``as_of``: latest
-        non-expired write per key."""
+        non-expired write per key.
+
+        Last-write-wins is a ``max_by`` AGGREGATION, not a
+        partitionBy(key) window: enrichment keys are low-cardinality by
+        nature, and a window would shuffle EVERY write of a hot key to
+        one task; max_by partial-aggregates map-side so only one
+        candidate row per key per partition reaches the shuffle."""
         as_of_c = F.lit(as_of).cast("timestamp") if isinstance(as_of, str) else as_of
         df = self._table.read().filter(F.col("_written_ts") <= as_of_c)
-        w = W.partitionBy(*self.key_cols).orderBy(
-            F.desc("_written_ts"), *[F.desc(c) for c in self.tiebreak_cols]
+        value_cols = [c for c in df.columns if c not in self.key_cols]
+        ord_key = F.struct(
+            F.col("_written_ts"), *[F.col(c) for c in self.tiebreak_cols]
         )
         latest = (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            df.groupBy(*self.key_cols)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in value_cols]), ord_key
+                ).alias("_v")
+            )
+            .select(*self.key_cols, "_v.*")
         )
         ttl = (
             F.col(self.ttl_col).cast("long")
