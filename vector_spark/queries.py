@@ -780,23 +780,21 @@ LEFT JOIN (SELECT service, http_status FROM rn WHERE _last = 1) mx USING (servic
 LEFT JOIN (SELECT service, latency_ms FROM rn WHERE _first = 1) mn USING (service)""",
 )
 def q_latest_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """aggregate modes Latest/Earliest, deterministic under ts ties:
-    explicit window over a UNIQUE ordering (ts, conv_id, turn_idx).
-    (Plain max_by/arg_max differ across engines on ties and nulls —
-    DuckDB's arg_max skips null values, Spark's max_by keeps them.)"""
+    """aggregate modes Latest/Earliest, deterministic under ts ties via
+    a UNIQUE ordering key (ts, conv_id, turn_idx).
+
+    ONE max_by/min_by aggregation (map-side partial combine) — NOT a
+    partitionBy(service) window: service is low-cardinality, and a
+    window would funnel every row of a hot service into one task.
+    Spark's max_by keeps a null value at the winning ordering key
+    (matching the oracle's row_number semantics); DuckDB's arg_max
+    would skip nulls, which is why the ORACLE stays row_number SQL."""
     df = _enriched(spark, sf_dir)
-    w_last = W.partitionBy("service").orderBy(
-        F.desc("ts"), F.desc("conv_id"), F.desc("turn_idx")
-    )
-    w_first = W.partitionBy("service").orderBy("ts", "conv_id", "turn_idx")
-    rn = df.withColumn("_last", F.row_number().over(w_last)).withColumn(
-        "_first", F.row_number().over(w_first)
-    )
-    agg = df.groupBy("service").agg(F.count(F.lit(1)).alias("n"))
-    mx = rn.filter("_last = 1").select("service", F.col("http_status").alias("last_status"))
-    mn = rn.filter("_first = 1").select("service", F.col("latency_ms").alias("first_latency"))
-    return agg.join(mx, "service", "left").join(mn, "service", "left").select(
-        "service", "last_status", "first_latency", "n"
+    ord_c = F.struct(F.col("ts"), F.col("conv_id"), F.col("turn_idx"))
+    return df.groupBy("service").agg(
+        F.max_by(F.col("http_status"), ord_c).alias("last_status"),
+        F.min_by(F.col("latency_ms"), ord_c).alias("first_latency"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
