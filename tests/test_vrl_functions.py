@@ -282,3 +282,15 @@ def test_strip_ansi_and_redact(spark):
     # raw regex filter
     assert _one(spark, vrl.redact(F.lit("key=secret123"), [r"secret\w+"])) == \
         "key=[REDACTED]"
+
+
+def test_encode_logfmt_and_csv(spark):
+    m = F.create_map(F.lit("b"), F.lit("two words"), F.lit("a"), F.lit("1"))
+    assert _one(spark, vrl.encode_logfmt(m)) == 'a=1 b="two words"'
+    # logfmt round-trip through the parser
+    rt = _one(spark, vrl.parse_logfmt(vrl.encode_logfmt(
+        F.create_map(F.lit("x"), F.lit("9"), F.lit("y"), F.lit("z")))))
+    assert rt == {"x": "9", "y": "z"}
+    s = F.struct(F.lit("a,b").alias("x"), F.lit(7).alias("n"),
+                 F.lit(None).cast("string").alias("z"))
+    assert _one(spark, vrl.encode_csv(s, ["x", "n", "z"])) == '"a,b",7,'

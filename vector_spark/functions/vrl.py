@@ -683,6 +683,50 @@ def ip_subnet(col: Column, bits: int) -> Column:
     )
 
 
+def encode_logfmt(col: Column) -> Column:
+    """VRL encode_logfmt: map<string,string> → 'k=v k2=v2' with keys
+    sorted (the reference emits sorted fields for determinism); values
+    containing spaces/quotes are double-quoted."""
+    entries = F.array_sort(F.map_entries(col))
+    render = F.transform(
+        entries,
+        lambda e: F.concat(
+            e.getField("key"),
+            F.lit("="),
+            F.when(
+                e.getField("value").rlike(r'[\s"=]'),
+                F.concat(
+                    F.lit('"'),
+                    F.regexp_replace(e.getField("value"), r'"', r'\\"'),
+                    F.lit('"'),
+                ),
+            ).otherwise(e.getField("value")),
+        ),
+    )
+    return F.array_join(render, " ")
+
+
+#: VRL encode_key_value with default separators == logfmt
+encode_key_value = encode_logfmt
+
+
+def encode_csv(col: Column, fields: list[str]) -> Column:
+    """VRL encode_csv: struct fields → one CSV line (RFC-4180 quoting
+    for separators/quotes)."""
+    cells = [
+        F.when(
+            col.getField(f).cast("string").rlike(r'[",\n]'),
+            F.concat(
+                F.lit('"'),
+                F.regexp_replace(col.getField(f).cast("string"), '"', '""'),
+                F.lit('"'),
+            ),
+        ).otherwise(F.coalesce(col.getField(f).cast("string"), F.lit("")))
+        for f in fields
+    ]
+    return F.concat_ws(",", *cells)
+
+
 def encode_base16(col: Column) -> Column:
     return F.hex(col.cast("binary"))
 
