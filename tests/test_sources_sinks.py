@@ -231,3 +231,23 @@ def test_fan_out_routed_row_equality(spark, outdir):
 
 def test_blackhole(spark):
     assert blackhole(transcripts_table(spark, 1000)) == 1000
+
+
+def test_read_text_multiline_file_source(spark, tmp_path):
+    """File source + multiline config (the reference's legacy marker
+    mode): per-file assembly, records never span files."""
+    from vector_spark.sources.readers import read_text_multiline
+
+    (tmp_path / "a.log").write_text(
+        "=> first msg\ncont a\ncont b\n=> second msg\ntail\n"
+    )
+    (tmp_path / "b.log").write_text("=> only msg\nmore\n")
+    out = read_text_multiline(
+        spark, str(tmp_path), r"^=>", mode="halt_before"
+    ).collect()
+    msgs = sorted(r["message"] for r in out)
+    assert msgs == [
+        "=> first msg\ncont a\ncont b",
+        "=> only msg\nmore",
+        "=> second msg\ntail",
+    ]

@@ -165,3 +165,26 @@ def test_stream_built_memory_table_equals_batch_built(spark, stream_src):
     finally:
         for d in (d1, d2):
             _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedupe_matches_batch(spark, stream_src):
+    from vector_spark.streaming import stream_dedupe, stream_transcripts
+
+    # duplicate the stream source rows by reading it twice via union
+    dup_src = "/tmp/vs_stream_dup_src"
+    import shutil as _sh
+
+    _sh.rmtree(dup_src, ignore_errors=True)
+    try:
+        base = spark.read.parquet(stream_src)
+        base.unionByName(base.limit(3000)).repartition(4).write.parquet(dup_src)
+        stream = stream_transcripts(spark, dup_src)
+        sdf = stream_dedupe(stream, ["conv_id", "turn_idx"])
+        run_to_memory(sdf, "stream_dedup", output_mode="append")
+        got = spark.sql(
+            "SELECT count(*) AS n, count(DISTINCT conv_id || '#' || turn_idx)"
+            " AS d FROM stream_dedup"
+        ).first()
+        assert got["n"] == got["d"] == 6000  # every turn exactly once
+    finally:
+        _sh.rmtree(dup_src, ignore_errors=True)

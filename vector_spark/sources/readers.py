@@ -157,6 +157,42 @@ def read_text_decoded(
     return df.withColumn(out_col, _DECODERS[codec](F.col(value_col), schema))
 
 
+def read_text_multiline(
+    spark: SparkSession,
+    path: str,
+    start_pattern: str,
+    *,
+    mode: str = "halt_before",
+    condition_pattern: str | None = None,
+) -> DataFrame:
+    """File source with multiline aggregation — the reference's file
+    source `multiline` config (line_agg.rs for_legacy: marker +
+    HaltBefore is the default in the wild).
+
+    `spark.read.text` alone cannot express this: line order within a
+    file is not a column, and a file may split across partitions.  So
+    each file is read WHOLE (wholetext), split into ordered lines with
+    posexplode, then assembled per file by :func:`line_agg` — records
+    never span files, files process in parallel.  Suits log files
+    (bounded per-file size); for huge single files pre-split upstream.
+    """
+    raw = spark.read.text(path, wholetext=True)
+    lines = raw.select(
+        F.input_file_name().alias("src"),
+        F.posexplode(
+            F.split(F.regexp_replace("value", r"\n$", ""), "\n")
+        ).alias("line_no", "value"),
+    )
+    return line_agg(
+        lines,
+        start_pattern,
+        group_by=["src"],
+        order_by="line_no",
+        mode=mode,
+        condition_pattern=condition_pattern,
+    )
+
+
 def line_agg(
     df: DataFrame,
     start_pattern: str,

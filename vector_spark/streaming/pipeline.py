@@ -139,6 +139,20 @@ def stateful_running_count(stream: DataFrame, key: str = "role") -> DataFrame:
     )
 
 
+def stream_dedupe(
+    stream: DataFrame,
+    match: list[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedupe — the reference's dedupe transform's LRU cache
+    re-expressed as watermarked `dropDuplicates`: state is bounded by
+    the watermark horizon instead of cache_size (the deterministic
+    event-time analogue; same first-wins semantics within the horizon)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(match)
+
+
 def run_to_memory(
     sdf: DataFrame,
     name: str,
