@@ -174,3 +174,50 @@ def test_ip_range_join_strategies_agree(spark):
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_reduce_segments_flush_triggers(spark):
+    """starts_when / ends_when / max_events flush triggers
+    (reduce/transform.rs transform_one)."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.operators.reduce import reduce_segments
+
+    rows = [("g", i, v) for i, v in
+            enumerate(["A", "B", "S", "C", "S", "D"])]
+    df = spark.createDataFrame(rows, "g string, i int, v string")
+
+    def segs(out):
+        got = {}
+        for r in out.orderBy("i").collect():
+            got.setdefault(r["_segment"], []).append(r["v"])
+        return [got[k] for k in sorted(got)]
+
+    # starts_when: a matching event begins a new group (flush before)
+    s = reduce_segments(df, ["g"], ord_col="i",
+                        starts_when=F.col("v") == "S")
+    assert segs(s) == [["A", "B"], ["S", "C"], ["S", "D"]]
+
+    # ends_when: the matching event is included, then flush
+    rows2 = [("g", i, v) for i, v in
+             enumerate(["A", "E", "B", "C", "E", "D"])]
+    df2 = spark.createDataFrame(rows2, "g string, i int, v string")
+    e = reduce_segments(df2, ["g"], ord_col="i",
+                        ends_when=F.col("v") == "E")
+    assert segs(e) == [["A", "E"], ["B", "C", "E"], ["D"]]
+
+    # max_events alone
+    m = reduce_segments(df2, ["g"], ord_col="i", max_events=2)
+    assert segs(m) == [["A", "E"], ["B", "C"], ["E", "D"]]
+
+    # combined ends_when + max_events (sequential path)
+    rows3 = [("g", i, v) for i, v in enumerate(["A", "B", "C", "E", "D"])]
+    df3 = spark.createDataFrame(rows3, "g string, i int, v string")
+    c = reduce_segments(df3, ["g"], ord_col="i",
+                        ends_when=F.col("v") == "E", max_events=2)
+    assert segs(c) == [["A", "B"], ["C", "E"], ["D"]]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="only one of"):
+        reduce_segments(df, ["g"], starts_when=F.lit(True),
+                        ends_when=F.lit(True))

@@ -11,7 +11,12 @@ from vector_spark.operators.metrics import (  # noqa: F401
 )
 from vector_spark.operators.memory_table import MemoryTable, TableFullError  # noqa: F401
 from vector_spark.operators.remap import RemapResult, remap  # noqa: F401
-from vector_spark.operators.reduce import reduce_events, sessionize, strategy_expr  # noqa: F401
+from vector_spark.operators.reduce import (  # noqa: F401
+    reduce_events,
+    reduce_segments,
+    sessionize,
+    strategy_expr,
+)
 from vector_spark.operators.route import (  # noqa: F401
     UNMATCHED,
     exclusive_route,

@@ -92,6 +92,100 @@ def reduce_events(
     return df.groupBy(*group_by).agg(*aggs)
 
 
+def reduce_segments(
+    df: DataFrame,
+    group_by: list[str],
+    *,
+    ord_col: str = "turn_idx",
+    starts_when=None,
+    ends_when=None,
+    max_events: int | None = None,
+    segment_col: str = "_segment",
+) -> DataFrame:
+    """Condition/count flush triggers for reduce
+    (reduce/transform.rs transform_one: `starts_when` flushes BEFORE a
+    matching event, `ends_when` flushes AFTER including it,
+    `max_events` caps a group's size; starts_when and ends_when are
+    mutually exclusive like the reference, transform.rs:180-182).
+
+    Adds a per-group ``segment_col``; callers group by
+    (group_by + segment).  Single-trigger cases are pure window
+    expressions; combining `max_events` WITH a condition is inherently
+    sequential (the count resets at condition boundaries), so that case
+    runs an ordered per-group scan via applyInPandas — same
+    parallelism as the reference (groups concurrent, events within a
+    group ordered).
+    """
+    from vector_spark.conditions import to_condition
+
+    if starts_when is not None and ends_when is not None:
+        raise ValueError(
+            "only one of `ends_when` and `starts_when` can be provided"
+        )
+    w = W.partitionBy(*group_by).orderBy(ord_col)
+    cum = w.rowsBetween(W.unboundedPreceding, 0)
+
+    cond = starts_when if starts_when is not None else ends_when
+    if cond is not None and max_events is None:
+        # null condition results never trigger (SQL null != true)
+        c = F.coalesce(to_condition(cond).cast("boolean"), F.lit(False))
+        if starts_when is not None:
+            is_start = c | (F.row_number().over(w) == 1)
+        else:
+            prev = F.lag(c).over(w)
+            is_start = prev.isNull() | prev
+        return df.withColumn(
+            segment_col, F.sum(is_start.cast("int")).over(cum) - 1
+        )
+    if cond is None and max_events is not None:
+        return df.withColumn(
+            segment_col,
+            ((F.row_number().over(w) - 1) / max_events).cast("long"),
+        )
+    if cond is None and max_events is None:
+        return df.withColumn(segment_col, F.lit(0).cast("long"))
+
+    # combined: sequential scan per group (bounded group sizes)
+    import pandas as pd
+
+    c = to_condition(cond)
+    marked = df.withColumn("_hit", c.cast("boolean"))
+    fields = {f.name: f.dataType.simpleString() for f in marked.schema.fields}
+    out_schema = ", ".join(
+        [f"`{n}` {t}" for n, t in fields.items()] + [f"`{segment_col}` bigint"]
+    )
+    is_starts = starts_when is not None
+    max_n = max_events
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ord_col).reset_index(drop=True)
+        seg, count, cur = [], 0, -1
+        for hit in pdf["_hit"].fillna(False):
+            if is_starts:
+                if hit or count >= max_n or cur < 0:
+                    cur += 1
+                    count = 0
+                seg.append(cur)
+                count += 1
+            else:
+                if count >= max_n or cur < 0:
+                    cur += 1
+                    count = 0
+                seg.append(cur)
+                count += 1
+                if hit:  # ends_when: included, then flush
+                    cur += 1
+                    count = 0
+        pdf[segment_col] = seg
+        return pdf
+
+    return (
+        marked.groupBy(*group_by)
+        .applyInPandas(scan, schema=out_schema)
+        .drop("_hit")
+    )
+
+
 def sessionize(
     df: DataFrame,
     group_by: list[str],

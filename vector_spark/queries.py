@@ -669,6 +669,56 @@ def q_nginx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "reduce_ends_when",
+    transcripts_cte(N_ORACLE)
+    + """,
+m AS (
+  SELECT conv_id, turn_idx, text,
+         CASE WHEN lag(starts_with(text, '{"')) OVER w IS NULL
+                OR lag(starts_with(text, '{"')) OVER w THEN 1 ELSE 0
+         END AS is_start
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+seg AS (
+  SELECT conv_id, turn_idx, text,
+         CAST(sum(is_start) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1
+           AS segment
+  FROM m
+)
+SELECT conv_id, segment,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS all_text
+FROM seg GROUP BY conv_id, segment""",
+)
+def q_reduce_ends_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduce with an ends_when flush condition
+    (reduce/transform.rs: the matching event is INCLUDED in the group,
+    then the group flushes): JSON lines close a segment; each segment
+    reduces to its merged text."""
+    from vector_spark.operators.reduce import reduce_segments
+
+    df = reduce_segments(
+        load_transcripts(spark, sf_dir),
+        ["conv_id"],
+        ord_col="turn_idx",
+        ends_when=F.col("text").startswith('{"'),
+        segment_col="segment",
+    )
+    return reduce_events(
+        df,
+        group_by=["conv_id", "segment"],
+        strategies={
+            "n_turns": ("count", "text"),
+            "all_text": ("concat_newline", "text"),
+        },
+        ord_col="turn_idx",
+        timestamps=False,
+    )
+
+
+@register(
     "multiline_records",
     transcripts_cte(N_ORACLE)
     + """,
