@@ -251,3 +251,28 @@ def test_read_text_multiline_file_source(spark, tmp_path):
         "=> only msg\nmore",
         "=> second msg\ntail",
     ]
+
+
+def test_demo_logs_source(spark):
+    """demo_logs synthetic source (demo_logs.rs): per-format streams
+    decodable by their matching codec."""
+    from vector_spark.functions.vrl import parse_syslog
+    from vector_spark.sources.readers import demo_logs
+
+    all_fmt = demo_logs(spark, 2000)
+    assert all_fmt.count() == 2000
+    assert all_fmt.columns == ["ts", "message"]
+
+    js = demo_logs(spark, 2000, "json")
+    decoded = js.withColumn(
+        "d", F.from_json("message", "level string, msg string")
+    )
+    assert decoded.filter("d.level IS NULL").count() == 0
+
+    sy = demo_logs(spark, 200, "syslog")
+    ok = sy.withColumn("d", parse_syslog(F.col("message")))
+    assert ok.filter("d IS NULL").count() == 0
+    # deterministic across invocations
+    a = sorted(r["message"] for r in demo_logs(spark, 100).collect())
+    b = sorted(r["message"] for r in demo_logs(spark, 100).collect())
+    assert a == b

@@ -100,6 +100,22 @@ def _build_source(spark: SparkSession, cfg: dict) -> DataFrame:
         return read_text_decoded(
             spark, cfg["path"], cfg.get("codec", "bytes"), cfg.get("schema")
         )
+    if typ == "demo_logs":
+        from vector_spark.sources.readers import demo_logs
+
+        return demo_logs(spark, cfg.get("n", 1000), cfg.get("format", "shuffle"))
+    if typ == "file":
+        # the reference's file source with optional multiline assembly
+        ml = cfg.get("multiline")
+        if ml:
+            from vector_spark.sources.readers import read_text_multiline
+
+            return read_text_multiline(
+                spark, cfg["path"], ml["start_pattern"],
+                mode=ml.get("mode", "halt_before"),
+                condition_pattern=ml.get("condition_pattern"),
+            )
+        return spark.read.text(cfg["path"])
     raise ConfigError(f"unknown source type {typ!r}")
 
 

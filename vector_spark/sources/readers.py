@@ -157,6 +157,46 @@ def read_text_decoded(
     return df.withColumn(out_col, _DECODERS[codec](F.col(value_col), schema))
 
 
+def demo_logs(
+    spark: SparkSession,
+    n: int,
+    fmt: str = "shuffle",
+) -> DataFrame:
+    """Synthetic log source — the reference's demo_logs
+    (/root/reference/src/sources/demo_logs.rs:102-140, formats
+    apache_common | json | logfmt ("shuffle" mixes them) | syslog).
+    Deterministic (LCG-derived, no RNG), fully parallel `range(n)`
+    generation; output is (ts timestamp, message string).
+    """
+    from vector_spark.data.transcripts import transcripts_df
+
+    t = transcripts_df(spark, n).select("ts", F.col("text").alias("message"))
+    if fmt == "shuffle":
+        return t
+    if fmt == "apache_common":
+        return t.filter(F.col("message").rlike(r"^\d+\."))
+    if fmt == "json":
+        return t.filter(F.col("message").startswith('{"'))
+    if fmt == "logfmt":
+        return t.filter(F.col("message").startswith("level="))
+    if fmt == "syslog":
+        # RFC3164 rendering derived from the same deterministic fields
+        base = transcripts_df(spark, n)
+        pri = (F.crc32(F.col("conv_id")) % 8 + 16).cast("int")  # local0..
+        return base.select(
+            "ts",
+            F.concat(
+                F.lit("<"), pri.cast("string"), F.lit(">"),
+                F.date_format("ts", "MMM dd HH:mm:ss"),
+                F.lit(" host"), (F.crc32("conv_id") % 100).cast("string"),
+                F.lit(" "), F.col("role"),
+                F.lit("["), F.col("turn_idx").cast("string"), F.lit("]: "),
+                F.regexp_replace(F.col("text"), r"\n", " "),
+            ).alias("message"),
+        )
+    raise ValueError(f"unknown demo_logs format {fmt!r}")
+
+
 def read_text_multiline(
     spark: SparkSession,
     path: str,
