@@ -221,3 +221,20 @@ def test_reduce_segments_flush_triggers(spark):
     with _pytest.raises(ValueError, match="only one of"):
         reduce_segments(df, ["g"], starts_when=F.lit(True),
                         ends_when=F.lit(True))
+
+
+def test_log_to_metric_all_metrics_mode(spark):
+    """all_metrics=true: the log already IS a serialized metric
+    (log_to_metric.rs:82-158) — straight projection with defaults."""
+    from vector_spark.operators.metrics import METRIC_COLS, log_to_metric
+
+    df = spark.createDataFrame(
+        [("cpu", 0.5, dt.datetime(2026, 1, 1))],
+        "name string, value double, ts timestamp",
+    )
+    out = log_to_metric(df, all_metrics=True)
+    assert out.columns == METRIC_COLS
+    r = out.first()
+    assert r["name"] == "cpu" and r["value"] == 0.5
+    assert r["kind"] == "absolute" and r["namespace"] == "ns"
+    assert r["tags"] == {}

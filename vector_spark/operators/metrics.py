@@ -18,9 +18,10 @@ METRIC_COLS = ["name", "namespace", "tags", "kind", "value", "ts"]
 
 def log_to_metric(
     df: DataFrame,
-    rules: list[dict],
+    rules: list[dict] | None = None,
     *,
     ts_col: str = "ts",
+    all_metrics: bool = False,
 ) -> DataFrame:
     """Derive metric rows from log fields
     (/root/reference/src/transforms/log_to_metric.rs:45-77).
@@ -34,7 +35,30 @@ def log_to_metric(
     Rows where the rule's field is null are skipped (the reference's
     per-rule template render failure).  Output is the UNION of the
     per-rule projections — one pass per rule over a shared scan.
+
+    ``all_metrics=True`` (log_to_metric.rs:82-158): the log IS a
+    serialized metric — project its (name, namespace, tags, kind,
+    value, ts) columns straight through, defaulting the optional ones.
     """
+    if all_metrics:
+        cols = {
+            "name": F.col("name"),
+            "namespace": (
+                F.col("namespace") if "namespace" in df.columns
+                else F.lit("ns")
+            ),
+            "tags": (
+                F.col("tags") if "tags" in df.columns
+                else F.create_map().cast("map<string,string>")
+            ),
+            "kind": (
+                F.col("kind") if "kind" in df.columns
+                else F.lit("absolute")
+            ),
+            "value": F.col("value").cast("double"),
+            "ts": F.col(ts_col),
+        }
+        return df.select(*[c.alias(n) for n, c in cols.items()])
     outs = []
     for r in rules:
         field = r.get("field")
