@@ -294,3 +294,37 @@ def test_encode_logfmt_and_csv(spark):
     s = F.struct(F.lit("a,b").alias("x"), F.lit(7).alias("n"),
                  F.lit(None).cast("string").alias("z"))
     assert _one(spark, vrl.encode_csv(s, ["x", "n", "z"])) == '"a,b",7,'
+
+
+def test_type_checks_schema_resolved(spark):
+    df = spark.createDataFrame(
+        [("x", 1, 1.5, True, [1], {"k": "v"})],
+        "s string, i int, f double, b boolean, a array<int>, m map<string,string>",
+    )
+    assert vrl.is_string(df, "s") and not vrl.is_string(df, "i")
+    assert vrl.is_integer(df, "i") and vrl.is_float(df, "f")
+    assert vrl.is_boolean(df, "b") and vrl.is_array(df, "a")
+    assert vrl.is_object(df, "m")
+
+
+def test_object_and_array_extras(spark):
+    m = F.create_map(F.lit("a"), F.lit("1"), F.lit("b"), F.lit("2"))
+    assert sorted(_one(spark, vrl.object_keys(m))) == ["a", "b"]
+    arr = F.array(*[F.lit(i) for i in range(5)])
+    assert _one(spark, vrl.chunk(arr, 2)) == [[0, 1], [2, 3], [4]]
+    assert _one(spark, vrl.chunk(F.array().cast("array<int>"), 2)) == []
+    assert _one(spark, vrl.flatten_array(
+        F.array(F.array(F.lit(1)), F.array(F.lit(2))))) == [1, 2]
+
+
+def test_string_number_timestamp_extras(spark):
+    assert _one(spark, vrl.repeat(F.lit("ab"), 3)) == "ababab"
+    assert _one(spark, vrl.pad_left(F.lit("7"), 3, "0")) == "007"
+    assert _one(spark, vrl.find(F.lit("hello"), "ll")) == 2
+    assert _one(spark, vrl.find(F.lit("hello"), "zz")) == -1
+    assert _one(spark, vrl.format_number(F.lit(1234.567), 2)) == "1,234.57"
+    import datetime as _dt
+    assert _one(spark, vrl.from_unix_timestamp(F.lit(1767225600))) == \
+        _dt.datetime(2026, 1, 1, 0, 0)
+    assert _one(spark, vrl.from_unix_timestamp(
+        F.lit(1767225600123), "milliseconds")).microsecond == 123000

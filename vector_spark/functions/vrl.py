@@ -809,6 +809,103 @@ def is_nullish(col: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+# Type checks — VRL's runtime is_* over dynamic Values; on a typed
+# engine the answer is static per column, so these resolve from the
+# schema at the driver (the Kind-inference analogue, SURVEY §1.5)
+
+
+def _dtype(df, col_name: str) -> str:
+    return dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[
+        col_name
+    ]
+
+
+def is_string(df, col_name: str) -> bool:
+    return _dtype(df, col_name) == "string"
+
+
+def is_integer(df, col_name: str) -> bool:
+    return _dtype(df, col_name) in ("int", "bigint", "smallint", "tinyint")
+
+
+def is_float(df, col_name: str) -> bool:
+    return _dtype(df, col_name) in ("double", "float")
+
+
+def is_boolean(df, col_name: str) -> bool:
+    return _dtype(df, col_name) == "boolean"
+
+
+def is_timestamp(df, col_name: str) -> bool:
+    return _dtype(df, col_name).startswith("timestamp")
+
+
+def is_array(df, col_name: str) -> bool:
+    return _dtype(df, col_name).startswith("array")
+
+
+def is_object(df, col_name: str) -> bool:
+    t = _dtype(df, col_name)
+    return t.startswith("struct") or t.startswith("map")
+
+
+# --------------------------------------------------------------------------
+# Object / Map
+
+object_keys = F.map_keys
+object_values = F.map_values
+
+
+def object_from_entries(keys: Column, values: Column) -> Column:
+    return F.map_from_arrays(keys, values)
+
+
+# --------------------------------------------------------------------------
+# Array extras
+
+
+def chunk(col: Column, size: int) -> Column:
+    """VRL chunk: split an array into fixed-size slices."""
+    n_chunks = F.ceil(F.size(col) / F.lit(size)).cast("int")
+    idx = F.when(F.size(col) > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.slice(col, i * size + 1, size))
+
+
+zip_arrays = F.arrays_zip
+flatten_array = F.flatten
+
+
+# --------------------------------------------------------------------------
+# String extras
+
+repeat = F.repeat
+pad_left = F.lpad
+pad_right = F.rpad
+reverse_string = F.reverse
+
+
+def find(col: Column, sub: str) -> Column:
+    """VRL find: index of substring, -1 when absent (0-based like VRL)."""
+    return F.instr(col, sub) - 1
+
+
+def format_number(col: Column, decimals: int = 2) -> Column:
+    return F.format_number(col, decimals)
+
+
+def from_unix_timestamp(col: Column, unit: str = "seconds") -> Column:
+    if unit == "seconds":
+        return F.timestamp_seconds(col)
+    if unit == "milliseconds":
+        return F.timestamp_millis(col)
+    if unit == "microseconds":
+        return F.timestamp_micros(col)
+    raise ValueError(f"unknown unit {unit!r}")
+
+
+# --------------------------------------------------------------------------
 # String case conversions (VRL camelcase/snakecase/kebabcase/pascalcase)
 
 
