@@ -156,3 +156,53 @@ def test_frame_sample_plan(spark):
     for r in got:
         expected = (max(durations[r["media_id"]] - 1, 0)) // 500 + 1
         assert r["count"] == expected
+
+
+def test_resize_and_audio_chunk_plans(spark):
+    from vector_spark.datapipe.multimodal import (
+        audio_chunk_plan,
+        resize_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, 60)
+    resized = resize_plan(media, 64, 64).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(resized) == n_images > 0
+    for r in resized:
+        assert max(r["out_w"], r["out_h"]) <= 64 and r["ok"]
+
+    chunks = audio_chunk_plan(media, chunk_ms=700, overlap_ms=200)
+    got = chunks.groupBy("media_id").count().collect()
+    durations = {r["media_id"]: r["duration_ms"]
+                 for r in media.filter("kind = 'audio'").collect()}
+    assert {r["media_id"] for r in got} == set(durations)
+    for r in got:
+        expected = (max(durations[r["media_id"]] - 1, 0)) // 500 + 1
+        assert r["count"] == expected
+    # chunk windows never exceed the chunk length
+    assert chunks.filter(
+        F.col("chunk_end_ms") > F.col("chunk_start_ms") + 700
+    ).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        audio_chunk_plan(media, chunk_ms=500, overlap_ms=500)
+
+
+def test_media_features_feed_similarity_search(spark):
+    """End-to-end multimodal → embedding plumbing: extracted feature
+    vectors flow straight into the similarity operators."""
+    from vector_spark.datapipe.multimodal import extract_features, synth_media
+    from vector_spark.datapipe.similarity import cosine_topk
+
+    media = synth_media(spark, 64)
+    feats = extract_features(media, dim=16).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("feat").alias("embedding"),
+    )
+    queries = feats.filter(F.col("vec_id") < 3)
+    topk = cosine_topk(feats, queries, k=3)
+    rows = topk.collect()
+    assert len(rows) == 9  # 3 queries x top-3
+    assert all(r["cos"] is not None for r in rows)

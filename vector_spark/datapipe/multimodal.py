@@ -102,6 +102,70 @@ def extract_features(
     return df.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+def resize_plan(
+    df: DataFrame, target_w: int, target_h: int, *, fake: bool = True
+) -> DataFrame:
+    """Image resize: the metadata math (aspect-preserving fit into
+    target_w×target_h) is pure Column arithmetic; the pixel kernel is
+    the same stubbed mapInPandas seam as extract_features — a real
+    PIL/opencv resize drops into `op` without touching the plan."""
+    imgs = df.filter(F.col("kind") == "image")
+    scale = F.least(
+        F.lit(target_w) / F.col("width"), F.lit(target_h) / F.col("height")
+    )
+    planned = imgs.withColumn("scale", scale).withColumn(
+        "out_w", F.ceil(F.col("width") * F.col("scale")).cast("int")
+    ).withColumn(
+        "out_h", F.ceil(F.col("height") * F.col("scale")).cast("int")
+    )
+
+    out_schema = (
+        "media_id long, out_w int, out_h int, payload binary, ok boolean"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL/opencv; "
+                    "run with fake=True for the passthrough stub"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": pdf["out_w"],
+                    "out_h": pdf["out_h"],
+                    "payload": pdf["payload"],  # stub: bytes pass through
+                    "ok": [p is not None for p in pdf["payload"]],
+                }
+            )
+
+    return planned.mapInPandas(op, schema=out_schema)
+
+
+def audio_chunk_plan(
+    df: DataFrame, chunk_ms: int = 5000, overlap_ms: int = 0
+) -> DataFrame:
+    """Audio chunking: one row per (chunk_start, chunk_end) window with
+    optional overlap — sequence + explode, pure Spark; the sample-level
+    slice is the stubbed decode kernel's job."""
+    stride = chunk_ms - overlap_ms
+    if stride <= 0:
+        raise ValueError("overlap_ms must be smaller than chunk_ms")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        df.filter(F.col("kind") == "audio")
+        .withColumn("chunk_start_ms", F.explode(starts))
+        .withColumn(
+            "chunk_end_ms",
+            F.least(F.col("chunk_start_ms") + chunk_ms, F.col("duration_ms")),
+        )
+        .select("media_id", "chunk_start_ms", "chunk_end_ms", "payload")
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: one output row per sampled frame
     timestamp (sequence + explode — pure Spark; the actual frame decode
