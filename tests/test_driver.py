@@ -153,3 +153,27 @@ def test_metrics_query_functions(spark, ckpt):
     df = ms.as_df(spark)
     assert df.filter("name = 'stage_wall_seconds'").count() == 3
     assert results["agg"].count() > 0
+
+
+def test_invalidate_cascades_to_descendants(spark, ckpt):
+    """Invalidating a stage must also invalidate committed descendants,
+    or resume would serve results computed from the OLD parent."""
+    calls: list = []
+    p = Pipeline(_build(calls), CKPT, inputs=["transcripts"])
+    t = transcripts_table(spark, 2000)
+    p.run(spark, {"transcripts": t})
+    assert calls == ["parse", "errors", "agg"]
+
+    p.invalidate("parse")
+    calls.clear()
+    p2 = Pipeline(_build(calls), CKPT, inputs=["transcripts"])
+    p2.run(spark, {"transcripts": t})
+    # everything downstream of parse recomputed, nothing served stale
+    assert calls == ["parse", "errors", "agg"]
+
+    # invalidating a leaf recomputes only the leaf
+    p2.invalidate("agg")
+    calls.clear()
+    p3 = Pipeline(_build(calls), CKPT, inputs=["transcripts"])
+    p3.run(spark, {"transcripts": t})
+    assert calls == ["agg"]

@@ -63,3 +63,31 @@ def test_uncommitted_data_is_invisible(spark, tbl_dir):
     t.limit(3).write.parquet(orphan)
     assert tbl.read().count() == 10
     assert tbl.history()[0]["id"] == tbl._head()
+
+
+def test_expire_snapshots_collects_orphan_line(spark, tbl_dir):
+    """rollback(v1) then commit strands v2; expire removes its manifest
+    and data while every ancestor of HEAD stays time-travelable."""
+    t = transcripts_table(spark, 1000)
+    tbl = SnapshotTable(spark, tbl_dir)
+    v1 = tbl.commit(t.limit(10), mode="overwrite")
+    v2 = tbl.commit(t.limit(5), mode="append")
+    tbl.rollback(v1)
+    v3 = tbl.commit(t.limit(7), mode="append")
+
+    expired = tbl.expire_snapshots()
+    assert expired == [v2]
+    # live line intact: HEAD and its ancestry still read
+    assert tbl.read().count() == 17
+    assert tbl.read(version=v1).count() == 10
+    assert tbl.read(version=v3).count() == 17
+    # the orphan is gone
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        tbl._manifest(v2)
+    # v2's unshared data dir was removed; v1's (shared with HEAD) kept
+    dirs = {d for d in os.listdir(tbl_dir) if d.startswith("snap-")}
+    assert f"snap-{v1:08d}" in dirs and f"snap-{v3:08d}" in dirs
+    assert f"snap-{v2:08d}" not in dirs
+    # idempotent
+    assert tbl.expire_snapshots() == []

@@ -180,11 +180,26 @@ class Pipeline:
         return results
 
     def invalidate(self, *names: str) -> None:
-        """Drop committed outputs (and implicitly everything that will
-        now recompute on the next run)."""
+        """Drop committed outputs AND every transitive descendant —
+        a committed child left in place would be resumed as-is on the
+        next run and silently serve results computed from the OLD
+        parent (stale lineage)."""
         import shutil
 
-        for n in names:
+        children: dict[str, list[str]] = {n: [] for n in self.stages}
+        for s in self.stages.values():
+            for p in s.parents:
+                if p in children:
+                    children[p].append(s.name)
+        doomed: set[str] = set()
+        frontier = list(names)
+        while frontier:
+            n = frontier.pop()
+            if n in doomed:
+                continue
+            doomed.add(n)
+            frontier.extend(children.get(n, []))
+        for n in doomed:
             shutil.rmtree(self._stage_path(n), ignore_errors=True)
 
 

@@ -126,3 +126,37 @@ class SnapshotTable:
         later snapshots stay readable by explicit version."""
         self._manifest(version)  # raises if unknown
         self._flip_head(version)
+
+    def expire_snapshots(self) -> list[int]:
+        """Iceberg-style `expire_snapshots`: delete manifests NOT in the
+        ancestry of HEAD, plus any data directory no surviving manifest
+        references.  Returns the expired snapshot ids.  HEAD's full
+        ancestry always survives (time travel along the current line
+        stays intact); orphan lines — snapshots stranded by a
+        rollback-then-commit — are collected."""
+        import shutil
+
+        head = self._head()
+        if head is None:
+            return []
+        live = {m["id"] for m in self.history()}
+        all_ids = {
+            int(n[:-5])
+            for n in os.listdir(self.manifest_dir)
+            if n.endswith(".json") and n[:-5].isdigit()
+        }
+        doomed = sorted(all_ids - live)
+        live_files: set[str] = set()
+        for sid in live:
+            live_files.update(self._manifest(sid)["files"])
+        for sid in doomed:
+            dead = [
+                f for f in self._manifest(sid)["files"]
+                if f not in live_files
+            ]
+            os.remove(os.path.join(self.manifest_dir, f"{sid}.json"))
+            for d in dead:
+                # a dead dir may still be referenced by another doomed
+                # manifest; harmless — the first remover wins
+                shutil.rmtree(d, ignore_errors=True)
+        return doomed
