@@ -238,3 +238,22 @@ def test_log_to_metric_all_metrics_mode(spark):
     assert r["name"] == "cpu" and r["value"] == 0.5
     assert r["kind"] == "absolute" and r["namespace"] == "ns"
     assert r["tags"] == {}
+
+
+def test_context_window_forward_when_bypass(spark):
+    """forward_when events pass through even outside any flush window
+    (window/transform.rs:49-94)."""
+    from vector_spark.operators.window_context import context_window
+
+    rows = [("c", i, "err" if i == 10 else ("keepme" if i == 2 else "x"))
+            for i in range(15)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, v string")
+    out = context_window(
+        df, F.col("v") == "err",
+        group_by=["conv_id"], order_by=["turn_idx"],
+        before=2, after=1,
+        forward_when=F.col("v") == "keepme",
+    )
+    got = sorted(r["turn_idx"] for r in out.collect())
+    # window around the err at 10 (8..11) plus the bypassed row at 2
+    assert got == [2, 8, 9, 10, 11]
