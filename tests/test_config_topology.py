@@ -169,3 +169,47 @@ def test_datadog_search_condition_in_config(spark):
     assert errs.count() == want.count() > 0
     slow = outs["routed"]["slow"]
     assert slow.count() == parsed.filter("latency_ms > 1500").count() > 0
+
+
+def test_enrichment_tables_section(spark, tmp_path):
+    """Top-level enrichment_tables (the reference's config block):
+    static + memory table types referenced by name from enrich."""
+    import datetime as dt
+
+    from vector_spark.operators.memory_table import MemoryTable
+
+    # pre-populate a memory table the topology will join against
+    mt_path = str(tmp_path / "memtbl")
+    seed = MemoryTable(spark, mt_path, ["role"], ttl_sec=10**9)
+    seed.write(spark.createDataFrame(
+        [("user", "blue", dt.datetime(2026, 1, 1)),
+         ("assistant", "green", dt.datetime(2026, 1, 1))],
+        "role string, team_color string, ts timestamp",
+    ))
+
+    cfg = {
+        "enrichment_tables": {
+            "colors": {"type": "memory", "path": mt_path,
+                       "key_cols": ["role"], "ttl": 10**9},
+            "labels": {"type": "static",
+                       "rows": [("user", "human"), ("assistant", "model")],
+                       "schema": "role string, label string"},
+        },
+        "sources": {"in": {"type": "transcripts", "n_turns": 2000}},
+        "transforms": {
+            "with_color": {
+                "type": "enrich", "inputs": ["in"], "table": "colors",
+                "keys": ["role"], "as_of": "2026-06-01 00:00:00",
+            },
+            "with_label": {
+                "type": "enrich", "inputs": ["with_color"],
+                "table": "labels", "keys": ["role"],
+            },
+        },
+        "sinks": {},
+    }
+    outs = build_topology(spark, cfg)
+    rows = outs["with_label"].filter("role = 'user'").limit(1).collect()
+    assert rows[0]["team_color"] == "blue" and rows[0]["label"] == "human"
+    # roles not in the tables enrich to null, rows preserved
+    assert outs["with_label"].count() == 2000

@@ -119,8 +119,38 @@ def _build_source(spark: SparkSession, cfg: dict) -> DataFrame:
     raise ConfigError(f"unknown source type {typ!r}")
 
 
+def _build_enrichment_tables(spark: SparkSession, config: dict) -> dict:
+    """Top-level ``enrichment_tables`` section — the reference's
+    enrichment_tables config block (src/enrichment_tables/): named
+    tables referenced by enrich transforms.  Types: ``csv`` (typed
+    file table), ``memory`` (writable TTL table), ``static`` (inline
+    rows for tests)."""
+    tables: dict[str, Any] = {}
+    for name, cfg in config.get("enrichment_tables", {}).items():
+        typ = cfg["type"]
+        if typ == "csv":
+            from vector_spark.enrich import load_csv_lookup
+
+            tables[name] = load_csv_lookup(spark, cfg["path"], cfg["schema"])
+        elif typ == "memory":
+            from vector_spark.operators.memory_table import MemoryTable
+
+            tables[name] = MemoryTable(
+                spark, cfg["path"], cfg["key_cols"],
+                ttl_sec=cfg.get("ttl", 600),
+                ttl_col=cfg.get("ttl_field"),
+                max_byte_size=cfg.get("max_byte_size"),
+                tiebreak_cols=cfg.get("tiebreak_cols"),
+            )
+        elif typ == "static":
+            tables[name] = spark.createDataFrame(cfg["rows"], cfg["schema"])
+        else:
+            raise ConfigError(f"unknown enrichment table type {typ!r}")
+    return tables
+
+
 def _build_transform(
-    spark: SparkSession, cfg: dict, inp: DataFrame
+    spark: SparkSession, cfg: dict, inp: DataFrame, tables: dict | None = None
 ) -> DataFrame | dict[str, DataFrame]:
     typ = cfg["type"]
     if typ == "remap":
@@ -185,7 +215,15 @@ def _build_transform(
     if typ == "enrich":
         from vector_spark.enrich import enrich
 
-        if cfg.get("table") == "tool_lookup":
+        table = cfg.get("table")
+        if tables and table in tables:
+            obj = tables[table]
+            from vector_spark.operators.memory_table import MemoryTable
+
+            if isinstance(obj, MemoryTable):
+                return obj.lookup(inp, cfg["as_of"])
+            lookup = obj  # a DataFrame table
+        elif table == "tool_lookup":
             from vector_spark.data.lookup import tool_lookup_df
 
             lookup = tool_lookup_df(spark)
@@ -223,6 +261,7 @@ def build_topology(
     is addressable by the bare name.
     """
     results: dict[str, Any] = {}
+    tables = _build_enrichment_tables(spark, config)
     for name, cfg in config.get("sources", {}).items():
         results[name] = _build_source(spark, cfg)
 
@@ -239,7 +278,7 @@ def build_topology(
                 raise
             except ConfigError:
                 continue  # dependency not built yet
-            out = _build_transform(spark, cfg, inp)
+            out = _build_transform(spark, cfg, inp, tables)
             if isinstance(out, dict) and "__default__" in out:
                 results[name] = out["__default__"]
                 for port, df in out.items():
