@@ -73,9 +73,24 @@ def main() -> None:
             "/tmp/vector_spark_bench_out"
         )
 
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only == "scale_chain":
+        # the reference's 12-step chain alone (its own two-size
+        # experiment shape) — used by scaling_bench SCALE_TARGET=chain
+        from vector_spark.plans.scale_chain import scale_chain, synth_scale_events
+
+        chain_src = synth_scale_events(spark, n_turns)
+        bench(
+            "pipeline",  # emitted under the headline key for emit()
+            lambda: scale_chain(chain_src)
+            .write.mode("overwrite")
+            .parquet("/tmp/vector_spark_bench_chain"),
+        )
+        emit(timings, n_turns, cpus)
+        return
+
     bench("pipeline", _pipeline)
 
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
         emit(timings, n_turns, cpus)
         return
@@ -130,6 +145,20 @@ def main() -> None:
         .agg(F.sum("n_tokens"), F.avg("quality"), F.count(F.lit(1)))
         .collect(),
     )
+
+    # the reference's own scaling-regression DAG (12-step sync remap
+    # chain, regression/cases/scale_sync_only_8_cpu) re-expressed —
+    # apples-to-apples with the reference's two-size experiment
+    from vector_spark.plans.scale_chain import scale_chain, synth_scale_events
+
+    chain_src = synth_scale_events(spark, n_turns)
+
+    def _chain() -> None:
+        scale_chain(chain_src).write.mode("overwrite").parquet(
+            "/tmp/vector_spark_bench_chain"
+        )
+
+    bench("scale_chain_12step", _chain)
 
     # sf1 pipeline (6M turns): 10x the headline scale, catches anything
     # the 600k run hides (spills, skew, partition sizing)

@@ -22,7 +22,12 @@ def run_at(cpus: int, n_turns: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_BENCH_N"] = str(n_turns)
-    env["SPARK_GRAFT_BENCH_ONLY"] = "pipeline"
+    # SCALE_TARGET=chain runs the reference's own 12-step remap chain
+    # (scale_sync_only) instead of the flagship pipeline
+    env["SPARK_GRAFT_BENCH_ONLY"] = (
+        "scale_chain" if os.environ.get("SCALE_TARGET") == "chain"
+        else "pipeline"
+    )
     env.setdefault("SPARK_GRAFT_BENCH_ITERS", "3")
     proc = subprocess.run(
         [sys.executable, "bench.py"],
@@ -61,7 +66,12 @@ def main() -> None:
         "queries_low": r_lo["queries"],
         "queries_high": r_hi["queries"],
     }
-    with open("SCALING.json", "w") as f:
+    fname = (
+        "SCALING_CHAIN.json" if os.environ.get("SCALE_TARGET") == "chain"
+        else "SCALING.json"
+    )
+    out["target"] = os.environ.get("SCALE_TARGET", "pipeline")
+    with open(fname, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
 

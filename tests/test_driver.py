@@ -177,3 +177,41 @@ def test_invalidate_cascades_to_descendants(spark, ckpt):
     p3 = Pipeline(_build(calls), CKPT, inputs=["transcripts"])
     p3.run(spark, {"transcripts": t})
     assert calls == ["agg"]
+
+
+def test_scale_chain_semantics(spark):
+    """The reference's 12-step scaling pipeline re-expressed
+    (regression/cases/scale_sync_only_8_cpu/vector/vector.yaml): every
+    transform's effect verified on the synthetic load shape."""
+    from vector_spark.plans.scale_chain import scale_chain, synth_scale_events
+
+    src = synth_scale_events(spark, 4000)
+    out = scale_chain(src).persist()
+    rows = out.limit(200).collect()
+    assert rows, "sampling removed everything"
+    for r in rows:
+        assert r["raw_message_obj"]["app"] == "demo"        # parse_json
+        assert r["http"]["status"] in (200, 500)            # parse_grok
+        assert r["raw_xml_obj"]["kind"] == "sync"           # parse_xml
+        assert r["pipeline_stage"] == "ingested"            # add_fields
+        assert r["src_host"].startswith("host-")            # rename
+        assert r["geo_region"] == "us-east-1"
+        tags = list(r["ddtags"])                            # ddtags filter
+        assert all(not t.startswith(("filename:", "container_id:"))
+                   for t in tags)
+        assert any(t.startswith("env:") for t in tags)
+        assert r["processed_by"] == "scale_sync_only"
+    # severity: level=info and ~10% of messages carry status 500 but
+    # "error" only triggers on message text — none here say 'error'
+    assert out.filter("severity_class <> 'info'").count() == 0
+    # sample halves per service (hash-consistent, ±
+    n_in = src.count()
+    n_out = out.count()
+    assert abs(n_out / n_in - 0.5) < 0.05
+    # dropped fields gone
+    assert "span_id" not in out.columns
+    assert "region_canonical" not in out.columns
+    # one narrow stage: no shuffle anywhere in the chain
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    out.unpersist()
