@@ -719,6 +719,85 @@ def q_reduce_ends_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cef_roundtrip",
+    parsed_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx,
+       'vector_spark' AS vendor, http_status AS severity_num,
+       http_url AS name, client_ip AS src
+FROM parsed WHERE format = 'apache'""",
+)
+def q_cef_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_cef: apache turns re-rendered as CEF lines (escaped
+    header + key=value extensions), parsed back; the oracle recovers
+    the fields directly so header parsing, unescaping, and the
+    extension map are all under the hash gate."""
+    from vector_spark.functions.parse import parse_transcripts
+    from vector_spark.functions.vrl import parse_cef
+
+    df = parse_transcripts(load_transcripts(spark, sf_dir)).filter(
+        F.col("format") == "apache"
+    )
+    line = F.concat(
+        F.lit("CEF:0|vector_spark|engine|1.0|"),
+        F.col("parsed.http_status").cast("string"),
+        F.lit("|"), F.col("parsed.http_url"),
+        F.lit("|5|src="), F.col("parsed.client_ip"),
+        F.lit(" act=allow"),
+    )
+    c = parse_cef(line)
+    return df.select(
+        "conv_id", "turn_idx",
+        c.getField("device_vendor").alias("vendor"),
+        c.getField("device_event_class_id").cast("int").alias("severity_num"),
+        c.getField("name").alias("name"),
+        F.element_at(c.getField("extensions"), "src").alias("src"),
+    )
+
+
+@register(
+    "vpc_flow_roundtrip",
+    parsed_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx,
+       client_ip AS srcaddr, http_status AS dstport,
+       CAST(http_bytes AS BIGINT) AS bytes,
+       CASE WHEN http_status >= 400 THEN 'REJECT' ELSE 'ACCEPT' END AS action
+FROM parsed WHERE format = 'apache'""",
+)
+def q_vpc_flow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_aws_vpc_flow_log: apache turns re-rendered as v2 flow-log
+    lines, parsed back; oracle recovers fields directly."""
+    from vector_spark.functions.parse import parse_transcripts
+    from vector_spark.functions.vrl import parse_aws_vpc_flow_log
+
+    df = parse_transcripts(load_transcripts(spark, sf_dir)).filter(
+        F.col("format") == "apache"
+    )
+    line = F.concat_ws(
+        " ",
+        F.lit("2"), F.lit("123456789010"), F.lit("eni-1"),
+        F.col("parsed.client_ip"), F.lit("172.31.0.2"),
+        F.lit("443"), F.col("parsed.http_status").cast("string"),
+        F.lit("6"), F.lit("10"),
+        F.col("parsed.http_bytes").cast("string"),
+        F.lit("1"), F.lit("2"),
+        F.when(F.col("parsed.http_status") >= 400, "REJECT").otherwise(
+            "ACCEPT"
+        ),
+        F.lit("OK"),
+    )
+    v = parse_aws_vpc_flow_log(line)
+    return df.select(
+        "conv_id", "turn_idx",
+        v.getField("srcaddr").alias("srcaddr"),
+        v.getField("dstport").alias("dstport"),
+        v.getField("bytes").alias("bytes"),
+        v.getField("action").alias("action"),
+    )
+
+
+@register(
     "multiline_records",
     transcripts_cte(N_ORACLE)
     + """,
