@@ -328,3 +328,23 @@ def test_string_number_timestamp_extras(spark):
         _dt.datetime(2026, 1, 1, 0, 0)
     assert _one(spark, vrl.from_unix_timestamp(
         F.lit(1767225600123), "milliseconds")).microsecond == 123000
+
+
+def test_strftime_format_language(spark):
+    """VRL/chrono strftime tokens accepted verbatim — reference configs
+    (e.g. enrichment file tables with strftime date formats) migrate
+    without rewriting their format strings."""
+    import datetime as _dt
+
+    ts = F.lit("2026-08-17 09:05:07").cast("timestamp")
+    assert vrl.strftime_to_spark("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss"
+    assert vrl.strftime_to_spark("%d/%b/%Y") == "dd/MMM/yyyy"
+    assert _one(spark, vrl.format_timestamp(ts, "%Y-%m-%dT%H:%M:%S",
+                                            strftime=True)) == \
+        "2026-08-17T09:05:07"
+    got = _one(spark, vrl.parse_timestamp(
+        F.lit("17/Aug/2026:09:05:07"), "%d/%b/%Y:%H:%M:%S", strftime=True))
+    assert got == _dt.datetime(2026, 8, 17, 9, 5, 7)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported"):
+        vrl.strftime_to_spark("%Q")

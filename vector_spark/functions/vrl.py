@@ -111,8 +111,53 @@ def parse_duration(col: Column, unit: str = "s") -> Column:
     return num * factor / F.lit(target)
 
 
-def parse_timestamp(col: Column, fmt: str) -> Column:
-    return F.to_timestamp(col, fmt)
+#: strftime → Spark datetime-pattern tokens (VRL formats timestamps
+#: with chrono strftime; translating them lets reference configs run
+#: verbatim).  Order matters: longest/compound first.
+_STRFTIME_TO_SPARK = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%e", "d"), ("%H", "HH"), ("%I", "hh"), ("%M", "mm"),
+    ("%S", "ss"), ("%3f", "SSS"), ("%6f", "SSSSSS"), ("%f", "SSSSSS"),
+    ("%b", "MMM"), ("%B", "MMMM"), ("%a", "EEE"), ("%A", "EEEE"),
+    ("%j", "DDD"), ("%p", "a"), ("%z", "xx"), ("%:z", "xxx"),
+    ("%Z", "zz"),
+    ("%%", "%"),
+    # %s (unix seconds) intentionally unsupported: use
+    # to_unix_timestamp / from_unix_timestamp, not a format token
+]
+
+
+def strftime_to_spark(fmt: str) -> str:
+    """Translate a strftime pattern (VRL parse_timestamp /
+    format_timestamp) to a Spark datetime pattern."""
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            for tok, rep in _STRFTIME_TO_SPARK:
+                if fmt.startswith(tok, i):
+                    out.append(rep)
+                    i += len(tok)
+                    break
+            else:
+                raise ValueError(f"unsupported strftime token at {fmt[i:]!r}")
+        elif fmt[i].isalpha():
+            # literal letters must be quoted in Spark patterns
+            j = i
+            while j < len(fmt) and fmt[j].isalpha():
+                j += 1
+            out.append("'" + fmt[i:j] + "'")
+            i = j
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+def parse_timestamp(col: Column, fmt: str, *, strftime: bool = False) -> Column:
+    """VRL parse_timestamp; pass ``strftime=True`` to use the VRL/chrono
+    format language instead of Spark's."""
+    return F.to_timestamp(col, strftime_to_spark(fmt) if strftime else fmt)
 
 
 def parse_xml(col: Column, schema: str) -> Column:
@@ -549,8 +594,10 @@ def random_float() -> Column:
 # Timestamp
 
 
-def format_timestamp(col: Column, fmt: str) -> Column:
-    return F.date_format(col, fmt)
+def format_timestamp(col: Column, fmt: str, *, strftime: bool = False) -> Column:
+    """VRL format_timestamp; ``strftime=True`` accepts the VRL/chrono
+    format language (reference configs use strftime tokens)."""
+    return F.date_format(col, strftime_to_spark(fmt) if strftime else fmt)
 
 
 def now() -> Column:
