@@ -348,3 +348,24 @@ def test_strftime_format_language(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported"):
         vrl.strftime_to_spark("%Q")
+
+
+def test_ip_aton_ntoa_and_checks(spark):
+    assert _one(spark, vrl.ip_aton(F.lit("10.0.0.1"))) == 10 * 16777216 + 1
+    assert _one(spark, vrl.ip_ntoa(F.lit(10 * 16777216 + 1))) == "10.0.0.1"
+    # round trip
+    assert _one(spark, vrl.ip_ntoa(vrl.ip_aton(F.lit("192.168.7.13")))) == \
+        "192.168.7.13"
+    assert _one(spark, vrl.is_ipv4(F.lit("255.255.255.255"))) is True
+    assert _one(spark, vrl.is_ipv4(F.lit("256.1.1.1"))) is False
+    assert _one(spark, vrl.is_ipv6(F.lit("2001:db8::1"))) is True
+    assert _one(spark, vrl.is_ipv6(F.lit("10.0.0.1"))) is False
+
+
+def test_punycode(spark):
+    assert _one(spark, vrl.encode_punycode(F.lit("bücher.example"))) == \
+        "xn--bcher-kva.example"
+    assert _one(spark, vrl.decode_punycode(F.lit("xn--bcher-kva.example"))) == \
+        "bücher.example"
+    assert _one(spark, vrl.encode_punycode(F.lit("plain.example"))) == \
+        "plain.example"

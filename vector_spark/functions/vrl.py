@@ -706,6 +706,77 @@ def ip_to_long(col: Column) -> Column:
     )
 
 
+#: VRL ip_aton — dotted quad → integer (alias of ip_to_long)
+def ip_aton(col: Column) -> Column:
+    return ip_to_long(col)
+
+
+def ip_ntoa(col: Column) -> Column:
+    """VRL ip_ntoa — integer → dotted quad."""
+    n = col.cast("long")
+    return F.concat_ws(
+        ".",
+        (n / 16777216).cast("long").cast("string"),
+        F.pmod((n / 65536).cast("long"), F.lit(256)).cast("string"),
+        F.pmod((n / 256).cast("long"), F.lit(256)).cast("string"),
+        F.pmod(n, F.lit(256)).cast("string"),
+    )
+
+
+IPV4_REGEX = (
+    r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+    r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
+)
+IPV6_REGEX = r"^([0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}$"
+
+
+def is_ipv4(col: Column) -> Column:
+    return F.coalesce(col.rlike(IPV4_REGEX), F.lit(False))
+
+
+def is_ipv6(col: Column) -> Column:
+    return F.coalesce(col.rlike(IPV6_REGEX) & ~col.rlike(IPV4_REGEX),
+                      F.lit(False))
+
+
+def encode_punycode(col: Column) -> Column:
+    """VRL encode_punycode — IDNA hostname encoding (Python stdlib
+    codec via an Arrow-batched kernel; no Spark builtin)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _udf(s):
+        def enc(v):
+            if v is None:
+                return None
+            try:
+                return v.encode("idna").decode("ascii")
+            except UnicodeError:
+                return None
+
+        return s.map(enc)
+
+    return _udf(col)
+
+
+def decode_punycode(col: Column) -> Column:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _udf(s):
+        def dec(v):
+            if v is None:
+                return None
+            try:
+                return v.encode("ascii").decode("idna")
+            except (UnicodeError, UnicodeDecodeError):
+                return None
+
+        return s.map(dec)
+
+    return _udf(col)
+
+
 def ip_cidr_contains(cidr: str, col: Column) -> Column:
     """VRL ip_cidr_contains('10.0.0.0/8', .ip) — pure bit arithmetic."""
     base, bits = cidr.split("/")
