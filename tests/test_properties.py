@@ -55,6 +55,46 @@ def test_line_agg_vectorized_matches_exact_on_complementary_patterns(
         assert "\n".join(r["message"] for r in rows) == "\n".join(lines)
 
 
+_marked = st.one_of(
+    st.from_regex(r"=>[a-z]{1,6}", fullmatch=True),   # marker line
+    st.from_regex(r"[a-z]{1,8}", fullmatch=True),     # plain line
+)
+
+
+@SET
+@given(lines=st.lists(_marked, min_size=1, max_size=20))
+def test_line_agg_halt_before_and_continue_past_parity(spark, lines):
+    """halt_before (legacy marker mode, S==C) and continue_past agree
+    between the window path and the exact state machine whenever the
+    stream opens with a start-pattern match (the vacant-state edge is
+    the documented divergence)."""
+    from vector_spark.sources.readers import line_agg, line_agg_exact
+
+    df = spark.createDataFrame(
+        list(enumerate(lines)), "line_no int, value string"
+    )
+    if lines[0].startswith("=>"):
+        a = line_agg(df, r"^=>", mode="halt_before",
+                     order_by="line_no").orderBy("line_no").collect()
+        b = line_agg_exact(df, r"^=>", mode="halt_before",
+                           order_by="line_no").orderBy("line_no").collect()
+        assert [r["message"] for r in a] == [r["message"] for r in b]
+    # continue_past and halt_with: S matches everything, so the
+    # window path must match the exact state machine on ALL inputs —
+    # including the first-line exemption (a buffer's first line is
+    # never evaluated against C), via the alternating-run construction
+    for mode in ("continue_past", "halt_with"):
+        a2 = line_agg(df, start_pattern=r".", mode=mode,
+                      condition_pattern=r"^=>",
+                      order_by="line_no").orderBy("line_no").collect()
+        b2 = line_agg_exact(df, start_pattern=r".", mode=mode,
+                            condition_pattern=r"^=>",
+                            order_by="line_no").orderBy("line_no").collect()
+        assert [r["message"] for r in a2] == [r["message"] for r in b2], mode
+        # coverage invariant: each line appears exactly once, in order
+        assert "\n".join(r["message"] for r in a2) == "\n".join(lines)
+
+
 @SET
 @given(
     gaps=st.lists(st.integers(min_value=1, max_value=2000),

@@ -38,8 +38,11 @@ def throttle(
         keep = F.row_number().over(w) <= threshold
     else:
         # excluded events bypass the limiter and do NOT consume
-        # capacity (transform.rs:103-110): rank only non-excluded rows
-        exc = to_condition(exclude)
+        # capacity (transform.rs:103-110): rank only non-excluded rows.
+        # A null condition result means "not excluded" (Condition::check
+        # is boolean) — coalesce so SQL ternary logic can't leak into
+        # either the bypass or the capacity count.
+        exc = F.coalesce(to_condition(exclude).cast("boolean"), F.lit(False))
         admitted = F.sum((~exc).cast("int")).over(
             w.rowsBetween(W.unboundedPreceding, 0)
         )

@@ -1010,6 +1010,75 @@ def q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "throttle_exclude_bypass",
+    parsed_cte(N_ORACLE)
+    + """,
+ranked AS (
+  SELECT conv_id, turn_idx, role, level,
+         sum(CASE WHEN level = 'error' THEN 0 ELSE 1 END) OVER (
+           PARTITION BY role,
+                        CAST(floor(epoch(ts)) AS BIGINT) // 600
+           ORDER BY ts, conv_id, turn_idx
+           ROWS UNBOUNDED PRECEDING) AS admitted
+  FROM parsed
+)
+SELECT conv_id, turn_idx, role
+FROM ranked WHERE level = 'error' OR admitted <= 5""",
+)
+def q_throttle_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """throttle with exclude bypass (transform.rs:103-110): error-level
+    events pass without consuming capacity — the round-1 ADVICE fix,
+    now under the hash gate."""
+    from vector_spark.functions.parse import parse_transcripts
+
+    df = parse_transcripts(load_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "role", "ts",
+        F.col("parsed.level").alias("level"),
+    )
+    out = throttle(
+        df, threshold=5, window_sec=600, key_fields=["role"],
+        order_by=["ts", "conv_id", "turn_idx"],
+        exclude=F.col("level") == "error",
+    )
+    return out.select("conv_id", "turn_idx", "role")
+
+
+@register(
+    "reduce_max_events",
+    transcripts_cte(N_ORACLE)
+    + """,
+seg AS (
+  SELECT conv_id, turn_idx, text,
+         (row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1)
+           // 4 AS segment
+  FROM transcripts
+)
+SELECT conv_id, CAST(segment AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS all_text
+FROM seg GROUP BY conv_id, segment""",
+)
+def q_reduce_max_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduce max_events flush (reduce/transform.rs:195): groups cap at
+    4 events, then flush."""
+    from vector_spark.operators.reduce import reduce_segments
+
+    df = reduce_segments(
+        load_transcripts(spark, sf_dir),
+        ["conv_id"], ord_col="turn_idx", max_events=4,
+        segment_col="segment",
+    )
+    return reduce_events(
+        df,
+        group_by=["conv_id", "segment"],
+        strategies={"n_turns": ("count", "text"),
+                    "all_text": ("concat_newline", "text")},
+        ord_col="turn_idx",
+        timestamps=False,
+    )
+
+
+@register(
     "context_window_errors",
     _ENRICH_CTE
     + """,

@@ -270,39 +270,62 @@ def line_agg(
 
     Known divergence from the reference's streaming state machine
     (line_agg.rs:304-368), documented and covered by
-    :func:`line_agg_exact`: in the vacant state the reference emits a
-    non-``start_pattern`` line as its own standalone record, and a
-    halt_with start line that itself matches C does not terminate its
-    (single-line-so-far) record.  With the usual complementary
-    patterns both paths agree; use ``line_agg_exact`` when bug-for-bug
-    parity on degenerate inputs matters.
+    :func:`line_agg_exact`: in the VACANT state the reference emits a
+    non-``start_pattern`` line as its own standalone record, while this
+    path folds every line into some record.  With S matching all record
+    openers (the usual config) the two agree on every mode — including
+    continue_past/halt_with's first-line exemption (a buffer's first
+    line is never evaluated against C, handled below by the
+    alternating-run construction), which is property-tested against
+    the exact state machine.
     """
     cond = condition_pattern or start_pattern
-    prev = F.lag(F.col(line_col)).over(
-        W.partitionBy(*group_by).orderBy(order_by)
-    )
+    w = W.partitionBy(*group_by).orderBy(order_by)
+    cum = w.rowsBetween(W.unboundedPreceding, 0)
+    prev = F.lag(F.col(line_col)).over(w)
     if mode == "continue_through":
         # every start-line begins a record; continuation lines don't match
         is_start = F.col(line_col).rlike(start_pattern)
-    elif mode == "continue_past":
-        # a line matching cond means the NEXT line continues the record:
-        # a line starts a record when the PREVIOUS line did not match
-        is_start = prev.isNull() | ~prev.rlike(cond)
+        with_rec = df.withColumn(
+            "_rec", F.sum(is_start.cast("int")).over(cum)
+        )
     elif mode == "halt_before":
         # a line matching cond begins a new record; non-matching lines
         # are folded into the current one (line_agg.rs:325-326)
         is_start = prev.isNull() | F.col(line_col).rlike(cond)
-    elif mode == "halt_with":
-        # a line matching cond ENDS the record (inclusive)
-        is_start = prev.isNull() | prev.rlike(cond)
+        with_rec = df.withColumn(
+            "_rec", F.sum(is_start.cast("int")).over(cum)
+        )
+    elif mode in ("continue_past", "halt_with"):
+        # Decision table (line_agg.rs:321-330): while a buffer is open,
+        # continue_past ENDS it (inclusive) at a line NOT matching C,
+        # halt_with at a line matching C — but the buffer's FIRST line
+        # is never evaluated (it was consumed by the vacant state), so
+        # `start(i) = closes(i-1) AND NOT start(i-1)`; within a maximal
+        # run of consecutive closes-candidates starts simply alternate.
+        # Vectorized: run id = count of non-candidate rows, then parity
+        # of the row position within the run.
+        prev_match = F.lag(F.col(line_col).rlike(cond)).over(w)
+        candidate = prev_match if mode == "halt_with" else ~prev_match
+        closes = F.coalesce(candidate, F.lit(False))
+        run = df.withColumn(
+            "_run", F.sum((~closes).cast("int")).over(cum)
+        )
+        rw = W.partitionBy(*group_by, "_run").orderBy(order_by)
+        rn = F.row_number().over(rw)
+        is_start = F.when(F.col("_run") == 1, rn % 2 == 1).otherwise(
+            (rn % 2 == 0) & (rn >= 2)
+        )
+        with_rec = run.withColumn(
+            "_rec",
+            F.sum(is_start.cast("int")).over(
+                W.partitionBy(*group_by)
+                .orderBy(order_by)
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        ).drop("_run")
     else:
         raise ValueError(f"unknown line_agg mode {mode!r}")
-
-    w = W.partitionBy(*group_by).orderBy(order_by)
-    rec = F.sum(is_start.cast("int")).over(
-        w.rowsBetween(W.unboundedPreceding, 0)
-    )
-    with_rec = df.withColumn("_rec", rec)
     ordered = F.array_sort(
         F.collect_list(F.struct(F.col(order_by).alias("o"), F.col(line_col).alias("v")))
     )
