@@ -80,3 +80,39 @@ def test_distribution_and_set(spark):
     assert d == {"a": {1.0: 2, 2.0: 1}, "b": {3.0: 1}}
     s = {r["g"]: list(r["values"]) for r in set_values(df, ["g"], "v").collect()}
     assert s == {"a": [1.0, 2.0], "b": [3.0]}
+
+
+def test_negative_values_mirrored_buckets(spark):
+    """AgentDDSketch handles negatives (metric/value.rs:83): mirrored
+    keys keep value order, quantiles stay within alpha on signed data."""
+    vals = [-500.0, -100.0, -10.0, 0.0, 0.0, 5.0, 50.0, 500.0, 5000.0, 50000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    sk = ddsketch(df, ["g"], "v")
+    r = sk.first()
+    assert r["n_zero"] == 2 and r["total"] == 10
+    keys = sorted(r["sketch"].keys())
+    assert sum(1 for k in keys if k < 0) == 3  # three negative buckets
+    import pyspark.sql.functions as SF
+
+    for q in (0.1, 0.25, 0.5, 0.9):
+        est = sk.select(
+            ddsketch_quantile(SF.col("sketch"), SF.col("n_zero"),
+                              SF.col("total"), q)
+        ).first()[0]
+        import math as _math
+        exact = sorted(vals)[_math.ceil(q * len(vals)) - 1]
+        if exact == 0.0:
+            assert est == 0.0, (q, est)
+        else:
+            assert abs(est - exact) / abs(exact) <= 0.011, (q, est, exact)
+    # merge invariant still holds with signed buckets
+    df2 = spark.createDataFrame(
+        [("g", i % 3, v) for i, v in enumerate(vals)],
+        "g string, w int, v double",
+    )
+    direct = ddsketch(df2, ["g"], "v").first()
+    merged = ddsketch_merge(ddsketch(df2, ["g", "w"], "v"), ["g"]).first()
+    assert dict(direct["sketch"]) == dict(merged["sketch"])
+    assert (direct["n_zero"], direct["total"]) == (
+        merged["n_zero"], merged["total"]
+    )

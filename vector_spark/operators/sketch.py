@@ -33,13 +33,21 @@ def _gamma(alpha: float) -> float:
     return (1.0 + alpha) / (1.0 - alpha)
 
 
+#: signed-bucket key offset: |log_gamma| of the double range is ~35k at
+#: alpha=0.01, so +-100k keeps positive keys > 0 and negative keys < 0
+#: with integer key order == value order (negatives mirrored, like the
+#: reference's AgentDDSketch negative bins, metric/value.rs:83)
+KEY_OFFSET = 100_000
+
+
 def bucket_index(value: Column, alpha: float = DEFAULT_ALPHA) -> Column:
-    """ceil(log_gamma(x)) for x > 0; null for zero/negative (tracked
-    separately)."""
+    """Signed bucket key: +(ceil(log_g|x|)+OFFSET) for x>0, mirrored
+    negative for x<0 — ascending key order == ascending value order.
+    Null for zero/null (the zero bin, tracked separately)."""
     g = _gamma(alpha)
-    return F.when(
-        value > 0, F.ceil(F.log(value.cast("double")) / math.log(g)).cast("int")
-    )
+    v = value.cast("double")
+    absb = F.ceil(F.log(F.abs(v)) / math.log(g)).cast("int")
+    return F.when(v > 0, absb + KEY_OFFSET).when(v < 0, -(absb + KEY_OFFSET))
 
 
 def ddsketch(
@@ -129,26 +137,13 @@ def ddsketch_merge(
     )
 
 
-def ddsketch_quantile(
-    sketch: Column,
-    n_zero: Column,
-    total: Column,
-    q: float,
-    *,
-    alpha: float = DEFAULT_ALPHA,
-) -> Column:
-    """Quantile estimate from a sketch column — a pure fold over the
-    sorted (bucket, count) entries, no UDF.  rank = ceil(q·total);
-    zeros occupy the lowest ranks."""
-    g = _gamma(alpha)
-    rank = F.ceil(F.lit(q) * total.cast("double")).cast("long")
-    entries = F.array_sort(F.map_entries(sketch))
-    # fold: (cum, bucket) — first bucket whose cumulative count (after
-    # zeros) reaches the rank
-    found = F.aggregate(
+def _fold_rank(entries: Column, start: Column, rank: Column) -> Column:
+    """First entry key whose cumulative count (starting at ``start``)
+    reaches ``rank`` — pure higher-order fold, no UDF."""
+    return F.aggregate(
         entries,
         F.struct(
-            n_zero.cast("long").alias("cum"),
+            start.cast("long").alias("cum"),
             F.lit(None).cast("int").alias("bucket"),
         ),
         lambda acc, e: F.struct(
@@ -160,10 +155,42 @@ def ddsketch_quantile(
             ).otherwise(acc.getField("bucket")).alias("bucket"),
         ),
     ).getField("bucket")
-    est = F.lit(2.0) * F.pow(F.lit(g), found.cast("double")) / F.lit(g + 1.0)
-    # rank satisfied inside the zero bin → estimate 0
+
+
+def ddsketch_quantile(
+    sketch: Column,
+    n_zero: Column,
+    total: Column,
+    q: float,
+    *,
+    alpha: float = DEFAULT_ALPHA,
+) -> Column:
+    """Quantile estimate from a sketch column — pure folds over the
+    sorted (key, count) entries, no UDF.  rank = ceil(q·total); value
+    order is negatives (mirrored keys) < zero bin < positives, which is
+    exactly ascending key order with the zero bin spliced at key 0."""
+    g = _gamma(alpha)
+    rank = F.ceil(F.lit(q) * total.cast("double")).cast("long")
+    entries = F.array_sort(F.map_entries(sketch))
+    neg = F.filter(entries, lambda e: e.getField("key") < 0)
+    pos = F.filter(entries, lambda e: e.getField("key") > 0)
+    neg_total = F.aggregate(
+        neg, F.lit(0).cast("long"), lambda acc, e: acc + e.getField("value")
+    )
+    found_neg = _fold_rank(neg, F.lit(0), rank)
+    found_pos = _fold_rank(pos, neg_total + n_zero.cast("long"), rank)
+
+    def _est(key: Column) -> Column:
+        mag = F.pow(
+            F.lit(g), (F.abs(key) - F.lit(KEY_OFFSET)).cast("double")
+        ) * F.lit(2.0) / F.lit(g + 1.0)
+        return F.when(key < 0, -mag).otherwise(mag)
+
     return F.round(
-        F.when(rank <= n_zero.cast("long"), F.lit(0.0)).otherwise(est), 6
+        F.when(rank <= neg_total, _est(found_neg))
+        .when(rank <= neg_total + n_zero.cast("long"), F.lit(0.0))
+        .otherwise(_est(found_pos)),
+        6,
     )
 
 
