@@ -257,3 +257,18 @@ def test_context_window_forward_when_bypass(spark):
     got = sorted(r["turn_idx"] for r in out.collect())
     # window around the err at 10 (8..11) plus the bypassed row at 2
     assert got == [2, 8, 9, 10, 11]
+
+
+def test_trace_to_log_and_static_enrich(spark):
+    from vector_spark.operators.metrics import static_enrich, trace_to_log
+
+    df = spark.createDataFrame([("trace", 1)], "kind string, x int")
+    out = trace_to_log(df)
+    assert out.first()["kind"] == "log"
+    # frames without a kind column pass through untouched
+    df2 = spark.createDataFrame([(1,)], "x int")
+    assert trace_to_log(df2).columns == ["x"]
+
+    enr = static_enrich(df2, {"ami_id": "ami-123", "az": "us-east-1a"})
+    r = enr.first()
+    assert r["ami_id"] == "ami-123" and r["az"] == "us-east-1a"

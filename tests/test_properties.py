@@ -167,3 +167,46 @@ def test_throttle_never_exceeds_threshold(spark, n, threshold):
     out = throttle(df, threshold=threshold, window_sec=3600,
                    key_fields=["key"], order_by=["ts", "i"])
     assert out.count() == min(n, threshold)
+
+
+def test_round2_operators_invariant_under_repartition(spark):
+    """Determinism guard: operator results must not depend on physical
+    partitioning (the per-turn-equality discipline applied to the
+    round-2 operators)."""
+    import pyspark.sql.functions as SF
+
+    from vector_spark.data.transcripts import transcripts_table
+    from vector_spark.operators.reduce import reduce_segments
+    from vector_spark.operators.sketch import ddsketch, ddsketch_quantile
+
+    base = transcripts_table(spark, 6000)
+    variants = [base, base.repartition(3), base.repartition(17, "role"),
+                base.repartitionByRange(5, "ts")]
+
+    def seg_fingerprint(df):
+        out = reduce_segments(
+            df, ["conv_id"], ord_col="turn_idx",
+            ends_when=SF.col("text").startswith('{"'),
+        )
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["_segment"])
+            for r in out.collect()
+        )
+
+    def sketch_fingerprint(df):
+        sk = ddsketch(
+            df.select("role", SF.length("text").cast("double").alias("v")),
+            ["role"], "v",
+        )
+        rows = sk.select(
+            "role",
+            ddsketch_quantile(SF.col("sketch"), SF.col("n_zero"),
+                              SF.col("total"), 0.95).alias("p95"),
+            "total",
+        ).collect()
+        return sorted((r["role"], r["p95"], r["total"]) for r in rows)
+
+    segs = [seg_fingerprint(v) for v in variants]
+    assert all(s == segs[0] for s in segs[1:])
+    sks = [sketch_fingerprint(v) for v in variants]
+    assert all(s == sks[0] for s in sks[1:])
