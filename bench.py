@@ -33,8 +33,22 @@ def main() -> None:
         transcripts_table,
     )
 
+    n_for_sizing = int(n_override) if n_override else None
+    shuffle_override = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    if shuffle_override:
+        shuffle = int(shuffle_override)
+    else:
+        # size shuffle partitions to DATA, floored at core count: ~300k
+        # turns (~50 MB) per partition keeps aggregation hash tables in
+        # memory at any input size (at 19.2M turns, 8 partitions =
+        # 2.4M rows each → spill → measured scaling fell to 0.53; with
+        # data-sized partitions it recovers)
+        from vector_spark.data.transcripts import n_turns_for_sf_dir as _n
+
+        approx_n = n_for_sizing or _n(sf_dir)
+        shuffle = max(cpus, 8, approx_n // 300_000)
     spark = get_spark("vector_spark_bench", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=shuffle)
 
     n_turns = int(n_override) if n_override else n_turns_for_sf_dir(sf_dir)
     transcripts = transcripts_table(spark, n_turns)
