@@ -109,6 +109,17 @@ def main() -> None:
         emit(timings, n_turns, cpus)
         return
 
+    # one-shuffle variant: HLL approx distinct instead of the exact
+    # two-phase count-distinct (the 100 TB default)
+    def _pipeline_approx() -> None:
+        from vector_spark.plans.transcript_pipeline import pipeline_stats
+
+        pipeline_stats(
+            spark, transcripts, exact_distinct=False
+        ).write.mode("overwrite").parquet("/tmp/vector_spark_bench_out_approx")
+
+    bench("pipeline_approx_distinct", _pipeline_approx)
+
     # parse engines head-to-head (full field materialization)
     def _parse(engine: str):
         def run() -> None:

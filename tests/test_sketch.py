@@ -116,3 +116,47 @@ def test_negative_values_mirrored_buckets(spark):
     assert (direct["n_zero"], direct["total"]) == (
         merged["n_zero"], merged["total"]
     )
+
+
+def test_hll_merge_equals_direct(spark):
+    """HLL union of per-window sketches estimates exactly what the
+    directly-built sketch estimates (sketch state is order-insensitive),
+    and within ~2% of true cardinality."""
+    import pyspark.sql.functions as SF
+
+    from vector_spark.operators.sketch import hll, hll_estimate, hll_merge
+
+    df = spark.range(50_000).select(
+        (SF.col("id") % 2).cast("string").alias("svc"),
+        (SF.col("id") % 8).alias("win"),
+        SF.concat(SF.lit("conv-"), (SF.col("id") % 9173).cast("string"))
+        .alias("conv"),
+    )
+    direct = hll(df, ["svc"], "conv")
+    merged = hll_merge(hll(df, ["svc", "win"], "conv"), ["svc"])
+    d = {r["svc"]: r["est"]
+         for r in direct.select("svc", hll_estimate(SF.col("hll")).alias("est")).collect()}
+    m = {r["svc"]: r["est"]
+         for r in merged.select("svc", hll_estimate(SF.col("hll")).alias("est")).collect()}
+    assert d == m
+    for v in d.values():
+        assert abs(v - 9173) / 9173 < 0.05
+
+
+def test_pipeline_stats_approx_distinct_single_shuffle(spark):
+    """exact_distinct=False: approx_count_distinct folds n_convs into
+    the single (sink, window) aggregation — ONE shuffle end-to-end,
+    the 100 TB default; values within ~2% of exact."""
+    from vector_spark.data.transcripts import transcripts_table
+    from vector_spark.plans.transcript_pipeline import pipeline_stats
+
+    t = transcripts_table(spark, 6000)
+    approx = pipeline_stats(spark, t, exact_distinct=False)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    exact = pipeline_stats(spark, t)
+    e = {(r["sink"], r["window_start"]): r["n_convs"] for r in exact.collect()}
+    a = {(r["sink"], r["window_start"]): r["n_convs"] for r in approx.collect()}
+    assert set(e) == set(a)
+    for k in e:
+        assert abs(a[k] - e[k]) <= max(2, 0.05 * e[k]), (k, a[k], e[k])

@@ -194,6 +194,31 @@ def ddsketch_quantile(
     )
 
 
+def hll(
+    df: DataFrame, group_by: list[str], value_col: str, *, lgk: int = 12
+) -> DataFrame:
+    """Mergeable distinct-count sketch (Datasketches HLL via Spark
+    builtins) — the cardinality analogue of the DDSketch column: build
+    per fine group, union up to coarser rollups without re-scanning
+    raw data.  ``lgk``=12 → ~1.6KB per sketch, ~1.6% error."""
+    return df.groupBy(*group_by).agg(
+        F.hll_sketch_agg(value_col, lgk).alias("hll")
+    )
+
+
+def hll_merge(
+    df: DataFrame, group_by: list[str], *, sketch_col: str = "hll"
+) -> DataFrame:
+    """Union sketches across a coarser grouping."""
+    return df.groupBy(*group_by).agg(
+        F.hll_union_agg(sketch_col).alias("hll")
+    )
+
+
+def hll_estimate(sketch: Column) -> Column:
+    return F.hll_sketch_estimate(sketch)
+
+
 def distribution(
     df: DataFrame, group_by: list[str], value_col: str
 ) -> DataFrame:

@@ -120,6 +120,7 @@ def pipeline_stats(
     *,
     engine: str = "jvm",
     interval_sec: int = AGG_INTERVAL_SEC,
+    exact_distinct: bool = True,
 ) -> DataFrame:
     """The ENTIRE pipeline's per-sink windowed stats as ONE Spark job.
 
@@ -130,6 +131,12 @@ def pipeline_stats(
     no repeated passes: the minimal-serial-fraction plan that keeps
     scaling efficiency high on a cluster (and in the N-vs-4N-core
     benchmark).
+
+    ``exact_distinct=False`` swaps the n_convs count-distinct for the
+    HLL-based approx_count_distinct: the exact distinct is what forces
+    the second shuffle (partial on (sink, window, conv_id)), so the
+    approx plan is ONE shuffle end-to-end — the 100 TB default, where
+    a ±2% cardinality is the right trade for halving data movement.
     """
     from pyspark.sql import functions as F
 
@@ -145,10 +152,13 @@ def pipeline_stats(
         F.col("parse_ok"), route_tag_column(ROUTES, reroute_unmatched=True)
     ).otherwise(F.array(F.lit("_dropped")))
     exploded = flat.withColumn("sink", F.explode(tags))
+    specs = dict(AGG_SPECS)
+    if not exact_distinct:
+        specs["n_convs"] = ("approx_distinct", "conv_id")
     return aggregate(
         exploded,
         keys=["sink"],
-        specs=AGG_SPECS,
+        specs=specs,
         ts_col="ts",
         interval_sec=interval_sec,
     )
