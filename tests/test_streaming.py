@@ -188,3 +188,37 @@ def test_stream_dedupe_matches_batch(spark, stream_src):
         assert got["n"] == got["d"] == 6000  # every turn exactly once
     finally:
         _sh.rmtree(dup_src, ignore_errors=True)
+
+
+def test_stream_throttle_state_spans_batches(spark, tmp_path):
+    """Token-bucket state must persist across micro-batches: a key's
+    budget consumed in batch 1 stays consumed in batch 2 for the same
+    window (a per-batch window op would re-admit)."""
+    import datetime as dt
+
+    from vector_spark.streaming.pipeline import stream_throttle
+
+    src = str(tmp_path / "thr_src")
+    t0 = dt.datetime(2026, 1, 1)
+    # two files = two micro-batches; SAME window for key 'k'
+    batch1 = spark.createDataFrame(
+        [("k", i, t0 + dt.timedelta(seconds=i)) for i in range(4)],
+        "key string, i int, ts timestamp",
+    )
+    batch2 = spark.createDataFrame(
+        [("k", 10 + i, t0 + dt.timedelta(seconds=30 + i)) for i in range(4)],
+        "key string, i int, ts timestamp",
+    )
+    batch1.coalesce(1).write.parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("key string, i int, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_throttle(stream, threshold=5, window_sec=600, key="key")
+    run_to_memory(out, "stream_throttle", output_mode="append")
+    got = spark.sql("SELECT * FROM stream_throttle").collect()
+    # 8 events total in ONE window, threshold 5 → exactly 5 admitted
+    assert len(got) == 5

@@ -139,6 +139,56 @@ def stateful_running_count(stream: DataFrame, key: str = "role") -> DataFrame:
     )
 
 
+def stream_throttle(
+    stream: DataFrame,
+    threshold: int,
+    window_sec: int,
+    key: str,
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful streaming throttle — the reference's token bucket
+    (throttle/transform.rs:44-55) as per-key state living across
+    micro-batches: admit the first ``threshold`` events per (key,
+    event-time window); later batches see the running count, so the
+    cap holds across the whole stream (unlike a per-batch window).
+    Admission among in-flight events follows event order within a
+    batch and arrival order across batches — the reference's
+    processing-order semantics.  The single (window, used) state slot
+    assumes per-key windows arrive non-decreasing (event-time-ordered
+    streams); a late window restarts the count, like the reference's
+    bucket refill on wall-clock progression.
+    """
+    out_schema = stream.schema
+
+    def _throttle_fn(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # state: (window_epoch, used)
+        win, used = state.get if state.exists else (-1, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            keep_rows = []
+            for _, row in pdf.iterrows():
+                w = int(row[ts_col].timestamp()) // window_sec
+                if w != win:
+                    win, used = w, 0
+                if used < threshold:
+                    used += 1
+                    keep_rows.append(row)
+            if keep_rows:
+                yield pd.DataFrame(keep_rows)
+        state.update((win, used))
+
+    return stream.groupBy(key).applyInPandasWithState(
+        _throttle_fn,
+        outputStructType=out_schema,
+        stateStructType="win long, used long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_dedupe(
     stream: DataFrame,
     match: list[str],
