@@ -369,3 +369,15 @@ def test_punycode(spark):
         "bücher.example"
     assert _one(spark, vrl.encode_punycode(F.lit("plain.example"))) == \
         "plain.example"
+
+
+def test_syslog_level_converters(spark):
+    assert _one(spark, vrl.to_syslog_severity(F.lit("err"))) == 3
+    assert _one(spark, vrl.to_syslog_severity(F.lit("error"))) == 3
+    assert _one(spark, vrl.to_syslog_severity(F.lit("panic"))) == 0
+    assert _one(spark, vrl.to_syslog_severity(F.lit("debug"))) == 7
+    assert _one(spark, vrl.to_syslog_severity(F.lit("nope"))) is None
+    assert _one(spark, vrl.to_syslog_level(F.lit(6))) == "info"
+    assert _one(spark, vrl.to_syslog_facility(F.lit(4))) == "auth"
+    assert _one(spark, vrl.to_syslog_facility(F.lit(23))) == "local7"
+    assert _one(spark, vrl.to_syslog_facility(F.lit(99))) is None

@@ -926,6 +926,52 @@ def is_nullish(col: Column) -> Column:
     return col.isNull() | (s == "") | (s == "-")
 
 
+_SYSLOG_SEVERITIES = [
+    "emerg", "alert", "crit", "err", "warning", "notice", "info", "debug",
+]
+_SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7",
+]
+
+
+def to_syslog_severity(col: Column) -> Column:
+    """VRL to_syslog_severity: keyword → numeric severity (fallible)."""
+    out = F.lit(None).cast("int")
+    for i, name in enumerate(_SYSLOG_SEVERITIES):
+        out = F.when(F.lower(col) == name, i).otherwise(out)
+    return F.when(F.lower(col) == "panic", 0).otherwise(
+        F.when(F.lower(col) == "error", 3).otherwise(
+            F.when(F.lower(col) == "warn", 4).otherwise(out)
+        )
+    )
+
+
+def to_syslog_level(col: Column) -> Column:
+    """VRL to_syslog_level: numeric severity → keyword (fallible)."""
+    out = F.lit(None).cast("string")
+    for i, name in enumerate(_SYSLOG_SEVERITIES):
+        out = F.when(col.cast("int") == i, name).otherwise(out)
+    return out
+
+
+def to_syslog_facility(col: Column) -> Column:
+    """VRL to_syslog_facility: facility code → keyword (fallible)."""
+    out = F.lit(None).cast("string")
+    for i, name in enumerate(_SYSLOG_FACILITIES):
+        out = F.when(col.cast("int") == i, name).otherwise(out)
+    return out
+
+
+# Number extras (VRL exp/ln/sqrt/pow are thin)
+exp = F.exp
+ln = F.log
+sqrt = F.sqrt
+pow_num = F.pow
+
+
 # --------------------------------------------------------------------------
 # Type checks — VRL's runtime is_* over dynamic Values; on a typed
 # engine the answer is static per column, so these resolve from the
