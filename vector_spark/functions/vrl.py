@@ -527,6 +527,35 @@ def unique(col: Column) -> Column:
 length = F.size
 
 
+def tally(col: Column) -> Column:
+    """VRL tally: array → map of value → occurrence count (pure
+    higher-order functions: distinct values, then a count fold each)."""
+    distinct = F.array_distinct(col)
+    return F.map_from_entries(
+        F.transform(
+            distinct,
+            lambda v: F.struct(
+                v.alias("key"),
+                F.size(F.filter(col, lambda x: x == v)).alias("value"),
+            ),
+        )
+    )
+
+
+def tally_value(col: Column, value) -> Column:
+    """VRL tally_value: occurrences of one value in an array."""
+    return F.size(F.filter(col, lambda x: x == F.lit(value)))
+
+
+def sieve(col: Column, pattern: str, replacement: str = "") -> Column:
+    """VRL sieve: KEEP only substrings matching the pattern; everything
+    else becomes ``replacement`` (inverse of regexp_replace) — one
+    regexp_extract_all + array_join."""
+    return F.array_join(
+        F.regexp_extract_all(col, F.lit(f"({pattern})")), replacement
+    )
+
+
 # --------------------------------------------------------------------------
 # Cryptography / Checksum / Random
 
@@ -578,6 +607,55 @@ def hmac_sha(col: Column, key: str, algorithm: str = "sha256") -> Column:
         )
 
     return _udf(col.cast("binary"))
+
+
+def community_id(
+    saddr: Column,
+    daddr: Column,
+    sport: Column,
+    dport: Column,
+    *,
+    proto: int = 6,
+    seed: int = 0,
+) -> Column:
+    """Zeek community-id flow hash (the public spec: version 1,
+    base64(sha1(seed . saddr . daddr . proto . 0 . sport . dport))
+    over the ORDERED endpoint tuple, so both directions of a flow get
+    the same id) — used to correlate flow logs across tools.  IPv4
+    only (the engine's IP arithmetic scope); pure Column expressions.
+    """
+    s_long, d_long = ip_to_long(saddr), ip_to_long(daddr)
+    # canonical order: (lower endpoint, port) first
+    flip = (s_long > d_long) | ((s_long == d_long) & (sport > dport))
+    a_ip = F.when(flip, d_long).otherwise(s_long)
+    b_ip = F.when(flip, s_long).otherwise(d_long)
+    a_pt = F.when(flip, dport).otherwise(sport).cast("int")
+    b_pt = F.when(flip, sport).otherwise(dport).cast("int")
+
+    def be16(c: Column) -> Column:
+        return F.concat(
+            _byte(c.cast("int") / 256), _byte(F.pmod(c.cast("int"), F.lit(256)))
+        )
+
+    def be32(c: Column) -> Column:
+        return F.concat(
+            _byte(c / 16777216), _byte(F.pmod((c / 65536).cast("long"), F.lit(256))),
+            _byte(F.pmod((c / 256).cast("long"), F.lit(256))),
+            _byte(F.pmod(c, F.lit(256))),
+        )
+
+    payload = F.concat(
+        be16(F.lit(seed)), be32(a_ip), be32(b_ip),
+        _byte(F.lit(proto)), _byte(F.lit(0)),
+        be16(a_pt), be16(b_pt),
+    )
+    digest = F.sha1(payload)
+    return F.concat(F.lit("1:"), F.base64(F.unhex(digest)))
+
+
+def _byte(c: Column) -> Column:
+    """One byte as binary from a 0-255 numeric column."""
+    return F.unhex(F.lpad(F.conv(c.cast("long").cast("string"), 10, 16), 2, "0"))
 
 
 def uuid_v4() -> Column:
