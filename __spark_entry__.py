@@ -2,7 +2,8 @@
 
 entry(spark) runs the flagship parse→enrich→route→aggregate pipeline on
 the sf0.001-scale transcripts table; queries()/oracle_sql() expose every
-implemented operator with its DuckDB oracle (vector_spark.queries).
+implemented operator (55+ queries) with its DuckDB oracle
+(vector_spark.queries + vector_spark.queries_datapipe).
 """
 
 from __future__ import annotations

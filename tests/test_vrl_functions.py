@@ -418,3 +418,11 @@ def test_community_id_direction_symmetric(spark):
     )
     want = "1:" + base64.b64encode(hashlib.sha1(payload).digest()).decode()
     assert a == want
+
+
+def test_parse_linux_authorization(spark):
+    line = ("<86>Jan 17 07:45:01 box sshd[991]: Accepted publickey for "
+            "root from 10.0.0.9")
+    v = _one(spark, vrl.parse_linux_authorization(F.lit(line)))
+    assert v["appname"] == "sshd" and v["procid"] == 991
+    assert v["message"].startswith("Accepted publickey")

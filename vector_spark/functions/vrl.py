@@ -82,6 +82,12 @@ def parse_syslog(col: Column) -> Column:
     )
 
 
+def parse_linux_authorization(col: Column) -> Column:
+    """VRL parse_linux_authorization — auth.log lines are RFC3164
+    syslog; same struct as :func:`parse_syslog`."""
+    return parse_syslog(col)
+
+
 URL_REGEX = r"^(\w+)://(?:([^:@/]+)(?::([^@/]+))?@)?([^:/?#]+)(?::(\d+))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
 
 
