@@ -276,3 +276,22 @@ def test_demo_logs_source(spark):
     a = sorted(r["message"] for r in demo_logs(spark, 100).collect())
     b = sorted(r["message"] for r in demo_logs(spark, 100).collect())
     assert a == b
+
+
+def test_influxdb_line_protocol_codec(spark, tmp_path):
+    lines = [
+        "cpu,host=a,region=us usage=0.5,idle=99 1700000000000000000",
+        "mem usage=1024",
+    ]
+    p = str(tmp_path / "influx.txt")
+    with open(p, "w") as f:
+        f.write("\n".join(lines))
+    rows = {r["decoded"]["measurement"]: r["decoded"]
+            for r in read_text_decoded(spark, p, "influxdb").collect()}
+    cpu = rows["cpu"]
+    assert cpu["tags"] == {"host": "a", "region": "us"}
+    assert cpu["fields"] == {"usage": "0.5", "idle": "99"}
+    assert cpu["ts_ns"] == 1700000000000000000
+    mem = rows["mem"]
+    assert mem["tags"] == {} and mem["fields"] == {"usage": "1024"}
+    assert mem["ts_ns"] is None

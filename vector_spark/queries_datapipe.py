@@ -267,6 +267,17 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, queries, k=10)
 
 
+@register("emb_ivf_topk", None)  # approximate — verified by recall test, not SQL
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (second scale path next to LSH);
+    deterministic centroids, recall-gated in tests/test_datapipe.py."""
+    from vector_spark.datapipe.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10, n_lists=8, n_probe=6)
+
+
 # near-dup pairs: the corpus is augmented with deterministic perturbed
 # clones (every 10th vector, elements scaled by 0.99/1.0/1.01 cyclically
 # → cos ~0.9999 vs source) because the raw synthetic embeddings contain

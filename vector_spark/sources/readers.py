@@ -130,6 +130,41 @@ def _probe_codec(spark: SparkSession, builder, codec: str, jar: str) -> None:
         ) from exc
 
 
+def _decode_influx(col: Column, schema: str) -> Column:
+    """InfluxDB line protocol (the influx codec,
+    lib/codecs decoding influxdb): ``measurement[,tag=v...] field=v[,...] [ts]``
+    → struct(measurement, tags map, fields map, ts_ns).  Regex splits
+    the three space-separated sections (escaped spaces not supported —
+    documented subset), then key=value maps."""
+    m = F.regexp_extract(col, r"^([^ ]+) ([^ ]+)( \d+)?$", 1)
+    measurement = F.split(m, ",").getItem(0)
+    tag_part = F.regexp_replace(m, r"^[^,]+,?", "")
+    field_part = F.regexp_extract(col, r"^[^ ]+ ([^ ]+)", 1)
+    ts = F.regexp_extract(col, r" (\d+)$", 1).try_cast("long")
+
+    def kv_map(part: Column) -> Column:
+        pairs = F.filter(F.split(part, ","), lambda p: p.contains("="))
+        return F.map_from_entries(
+            F.transform(
+                pairs,
+                lambda p: F.struct(
+                    F.regexp_extract(p, "^([^=]+)=", 1).alias("key"),
+                    F.regexp_extract(p, "^[^=]+=(.*)$", 1).alias("value"),
+                ),
+            )
+        )
+
+    return F.when(
+        m != "",
+        F.struct(
+            measurement.alias("measurement"),
+            kv_map(tag_part).alias("tags"),
+            kv_map(field_part).alias("fields"),
+            ts.alias("ts_ns"),
+        ),
+    )
+
+
 _DECODERS = {
     "bytes": lambda c, s: c,
     "json": _decode_json,
@@ -137,6 +172,7 @@ _DECODERS = {
     "logfmt": _decode_logfmt,
     "csv": _decode_csv,
     "gelf": _decode_gelf,
+    "influxdb": _decode_influx,
 }
 
 
