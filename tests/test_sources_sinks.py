@@ -295,3 +295,18 @@ def test_influxdb_line_protocol_codec(spark, tmp_path):
     mem = rows["mem"]
     assert mem["tags"] == {} and mem["fields"] == {"usage": "1024"}
     assert mem["ts_ns"] is None
+
+
+def test_sink_compression_option(spark, tmp_path):
+    from vector_spark.sources.readers import read_source
+    from vector_spark.sources.sinks import write_sink
+
+    t = transcripts_table(spark, 500)
+    p1, p2 = str(tmp_path / "gz"), str(tmp_path / "plain")
+    write_sink(t, p1, fmt="json", compression="gzip")
+    write_sink(t, p2, fmt="json")
+    import os as _os
+
+    gz_files = [f for f in _os.listdir(p1) if f.endswith(".json.gz")]
+    assert gz_files, "gzip json parts expected"
+    assert read_source(spark, "json", p1).count() == 500  # transparently readable

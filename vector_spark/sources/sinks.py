@@ -34,14 +34,19 @@ def write_sink(
     mode: str = "overwrite",
     partition_template: dict[str, Column] | None = None,
     max_records_per_file: int | None = None,
+    compression: str | None = None,
 ) -> None:
-    """One sink write: optional template partitioning + batch sizing."""
+    """One sink write: optional template partitioning + batch sizing +
+    compression codec (the sink-side `compression` option — gzip/zstd/
+    snappy for parquet, gzip for json/csv)."""
     if partition_template:
         for name, col in partition_template.items():
             df = df.withColumn(name, col)
     writer = df.write.mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        writer = writer.option("compression", compression)
     if partition_template:
         writer = writer.partitionBy(*partition_template)
     if fmt == "parquet":
