@@ -426,3 +426,19 @@ def test_parse_linux_authorization(spark):
     v = _one(spark, vrl.parse_linux_authorization(F.lit(line)))
     assert v["appname"] == "sshd" and v["procid"] == 991
     assert v["message"].startswith("Accepted publickey")
+
+
+def test_parse_syslog_5424(spark):
+    line = ('<165>1 2026-08-17T10:00:00Z web01 nginx 1234 ID47 '
+            '[exampleSDID@32473 iut="3"] request completed')
+    v = _one(spark, vrl.parse_syslog_5424(F.lit(line)))
+    assert v["facility"] == 20 and v["severity"] == 5
+    assert v["hostname"] == "web01" and v["appname"] == "nginx"
+    assert v["procid"] == 1234 and v["msgid"] == "ID47"
+    assert v["structured_data"].startswith("[exampleSDID")
+    assert v["message"] == "request completed"
+    # nil fields
+    v2 = _one(spark, vrl.parse_syslog_5424(
+        F.lit("<34>1 2026-01-01T00:00:00Z - - - - - hello")))
+    assert v2["hostname"] is None and v2["message"] == "hello"
+    assert _one(spark, vrl.parse_syslog_5424(F.lit("not syslog"))) is None

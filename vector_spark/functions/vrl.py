@@ -82,6 +82,38 @@ def parse_syslog(col: Column) -> Column:
     )
 
 
+SYSLOG_5424 = (
+    r"^<(\d+)>1 (\S+) (\S+) (\S+) (\S+) (\S+) (\[.*?\]|-) ?(.*)$"
+)
+
+
+def parse_syslog_5424(col: Column) -> Column:
+    """RFC5424 structured syslog → struct (the syslog codec's modern
+    format; facility/severity split like :func:`parse_syslog`;
+    '-' nil values become null)."""
+    raw = regex_extract_struct(
+        col, SYSLOG_5424,
+        ["pri", "timestamp", "hostname", "appname", "procid", "msgid",
+         "sd", "message"],
+    )
+    pri = raw.getField("pri").cast("int")
+    nil = lambda c: F.when(c != "-", c)  # noqa: E731
+    return F.when(
+        raw.isNotNull(),
+        F.struct(
+            (pri / 8).cast("int").alias("facility"),
+            F.pmod(pri, F.lit(8)).alias("severity"),
+            F.to_timestamp(raw.getField("timestamp")).alias("timestamp"),
+            nil(raw.getField("hostname")).alias("hostname"),
+            nil(raw.getField("appname")).alias("appname"),
+            nil(raw.getField("procid")).try_cast("int").alias("procid"),
+            nil(raw.getField("msgid")).alias("msgid"),
+            nil(raw.getField("sd")).alias("structured_data"),
+            raw.getField("message").alias("message"),
+        ),
+    )
+
+
 def parse_linux_authorization(col: Column) -> Column:
     """VRL parse_linux_authorization — auth.log lines are RFC3164
     syslog; same struct as :func:`parse_syslog`."""
