@@ -442,3 +442,24 @@ def test_parse_syslog_5424(spark):
         F.lit("<34>1 2026-01-01T00:00:00Z - - - - - hello")))
     assert v2["hostname"] is None and v2["message"] == "hello"
     assert _one(spark, vrl.parse_syslog_5424(F.lit("not syslog"))) is None
+
+
+def test_parse_glog(spark):
+    line = "E0817 10:00:00.123456  1234 controller.go:217] sync failed"
+    v = _one(spark, vrl.parse_glog(F.lit(line)))
+    assert v["level"] == "error" and v["month"] == 8 and v["day"] == 17
+    assert v["id"] == 1234 and v["file"] == "controller.go"
+    assert v["line"] == 217 and v["message"] == "sync failed"
+    assert vrl.parse_klog is vrl.parse_glog
+    assert _one(spark, vrl.parse_glog(F.lit("plain text"))) is None
+
+
+def test_base64url_round_trip(spark):
+    # payload chosen to produce +/ and padding in standard base64
+    payload = "\xfb\xff~a"
+    std = _one(spark, vrl.encode_base64(F.lit(payload)))
+    url = _one(spark, vrl.encode_base64url(F.lit(payload)))
+    assert "+" not in url and "/" not in url and not url.endswith("=")
+    assert _one(spark, vrl.decode_base64url(F.lit(url))) == payload
+    # std and url encode the same bytes
+    assert std.replace("+", "-").replace("/", "_").rstrip("=") == url

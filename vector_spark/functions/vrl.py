@@ -82,6 +82,43 @@ def parse_syslog(col: Column) -> Column:
     )
 
 
+GLOG_REGEX = (
+    r"^([IWEF])(\d{2})(\d{2}) (\d{2}:\d{2}:\d{2}\.\d+)\s+(\d+) "
+    r"([^:]+):(\d+)\] (.*)$"
+)
+_GLOG_LEVELS = {"I": "info", "W": "warning", "E": "error", "F": "fatal"}
+
+
+def parse_glog(col: Column) -> Column:
+    """VRL parse_glog (google log / Kubernetes klog lines:
+    ``I0817 10:00:00.123456 1234 file.go:123] message``) → struct."""
+    raw = regex_extract_struct(
+        col, GLOG_REGEX,
+        ["lvl", "month", "day", "time", "thread_id", "file", "line",
+         "message"],
+    )
+    level = F.lit(None).cast("string")
+    for k, v in _GLOG_LEVELS.items():
+        level = F.when(raw.getField("lvl") == k, v).otherwise(level)
+    return F.when(
+        raw.isNotNull(),
+        F.struct(
+            level.alias("level"),
+            raw.getField("month").cast("int").alias("month"),
+            raw.getField("day").cast("int").alias("day"),
+            raw.getField("time").alias("time"),
+            raw.getField("thread_id").cast("long").alias("id"),
+            raw.getField("file").alias("file"),
+            raw.getField("line").cast("int").alias("line"),
+            raw.getField("message").alias("message"),
+        ),
+    )
+
+
+#: Kubernetes klog shares the glog line format
+parse_klog = parse_glog
+
+
 SYSLOG_5424 = (
     r"^<(\d+)>1 (\S+) (\S+) (\S+) (\S+) (\S+) (\[.*?\]|-) ?(.*)$"
 )
@@ -734,6 +771,21 @@ def encode_base64(col: Column) -> Column:
 
 def decode_base64(col: Column) -> Column:
     return F.unbase64(col).cast("string")
+
+
+def encode_base64url(col: Column) -> Column:
+    """URL-safe base64 (RFC 4648 §5): '+/' → '-_', padding stripped."""
+    return F.regexp_replace(
+        F.translate(F.base64(col.cast("binary")), "+/", "-_"), "=+$", ""
+    )
+
+
+def decode_base64url(col: Column) -> Column:
+    restored = F.translate(col, "-_", "+/")
+    pad = F.pmod(F.lit(4) - F.pmod(F.length(restored), F.lit(4)), F.lit(4))
+    return F.unbase64(
+        F.concat(restored, F.repeat(F.lit("="), pad.cast("int")))
+    ).cast("string")
 
 
 def _binary_pandas_udf(fn, name: str):
