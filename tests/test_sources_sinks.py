@@ -310,3 +310,29 @@ def test_sink_compression_option(spark, tmp_path):
     gz_files = [f for f in _os.listdir(p1) if f.endswith(".json.gz")]
     assert gz_files, "gzip json parts expected"
     assert read_source(spark, "json", p1).count() == 500  # transparently readable
+
+
+def test_container_log_codecs(spark, tmp_path):
+    """CRI (containerd) and docker json-file — the two Kubernetes
+    container log formats."""
+    cri = str(tmp_path / "cri.log")
+    with open(cri, "w") as f:
+        f.write("2026-08-17T10:00:00.123456789Z stdout F hello world\n"
+                "2026-08-17T10:00:01.000000000Z stderr P partial chunk\n"
+                "not a cri line\n")
+    rows = read_text_decoded(spark, cri, "cri").collect()
+    bymsg = {r["value"]: r["decoded"] for r in rows}
+    ok = bymsg["2026-08-17T10:00:00.123456789Z stdout F hello world"]
+    assert ok["message"] == "hello world" and ok["stream"] == "stdout"
+    assert ok["partial"] is False and ok["timestamp"] is not None
+    p = bymsg["2026-08-17T10:00:01.000000000Z stderr P partial chunk"]
+    assert p["partial"] is True and p["stream"] == "stderr"
+    assert bymsg["not a cri line"] is None
+
+    dj = str(tmp_path / "docker.log")
+    with open(dj, "w") as f:
+        f.write('{"log": "line one\\n", "stream": "stdout", '
+                '"time": "2026-08-17T10:00:00.5Z"}\n')
+    d = read_text_decoded(spark, dj, "docker_json").first()["decoded"]
+    assert d["message"] == "line one"  # trailing newline stripped
+    assert d["stream"] == "stdout" and d["timestamp"] is not None

@@ -165,6 +165,44 @@ def _decode_influx(col: Column, schema: str) -> Column:
     )
 
 
+def _decode_cri(col: Column, schema: str) -> Column:
+    """CRI / containerd log lines
+    (``2026-08-17T10:00:00.123456789Z stdout F message``): timestamp,
+    stream, partial/full tag, message.  The 'P' tag marks a partial
+    line (reassembled downstream with line_agg continue_through on
+    tag=P)."""
+    raw = F.regexp_extract(col, r"^(\S+) (stdout|stderr) ([PF]) (.*)$", 0)
+    return F.when(
+        raw != "",
+        F.struct(
+            F.to_timestamp(
+                F.regexp_extract(col, r"^(\S+) ", 1)
+            ).alias("timestamp"),
+            F.regexp_extract(col, r"^\S+ (stdout|stderr)", 1).alias("stream"),
+            (F.regexp_extract(col, r"^\S+ \S+ ([PF]) ", 1) == "P").alias(
+                "partial"
+            ),
+            F.regexp_extract(col, r"^\S+ \S+ [PF] (.*)$", 1).alias("message"),
+        ),
+    )
+
+
+def _decode_docker_json(col: Column, schema: str) -> Column:
+    """Docker json-file driver lines:
+    ``{"log": "...", "stream": "stdout", "time": "..."}``."""
+    parsed = F.from_json(col, "log string, stream string, time string")
+    return F.when(
+        parsed.isNotNull() & parsed.getField("log").isNotNull(),
+        F.struct(
+            F.regexp_replace(parsed.getField("log"), r"\n$", "").alias(
+                "message"
+            ),
+            parsed.getField("stream").alias("stream"),
+            F.to_timestamp(parsed.getField("time")).alias("timestamp"),
+        ),
+    )
+
+
 _DECODERS = {
     "bytes": lambda c, s: c,
     "json": _decode_json,
@@ -173,6 +211,8 @@ _DECODERS = {
     "csv": _decode_csv,
     "gelf": _decode_gelf,
     "influxdb": _decode_influx,
+    "cri": _decode_cri,
+    "docker_json": _decode_docker_json,
 }
 
 
