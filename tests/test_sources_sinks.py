@@ -336,3 +336,28 @@ def test_container_log_codecs(spark, tmp_path):
     d = read_text_decoded(spark, dj, "docker_json").first()["decoded"]
     assert d["message"] == "line one"  # trailing newline stripped
     assert d["stream"] == "stdout" and d["timestamp"] is not None
+
+
+def test_reassemble_cri_partials(spark):
+    import datetime as dt
+
+    from vector_spark.sources.readers import _decode_cri, reassemble_cri
+
+    lines = [
+        ("f1", "stdout", 1, "2026-08-17T10:00:00Z stdout P chunk-a "),
+        ("f1", "stdout", 2, "2026-08-17T10:00:01Z stdout P chunk-b "),
+        ("f1", "stdout", 3, "2026-08-17T10:00:02Z stdout F chunk-c"),
+        ("f1", "stdout", 4, "2026-08-17T10:00:03Z stdout F single"),
+        ("f1", "stderr", 5, "2026-08-17T10:00:04Z stderr F other-stream"),
+    ]
+    df = spark.createDataFrame(
+        lines, "src string, stream string, line_no int, value string"
+    ).withColumn("decoded", _decode_cri(F.col("value"), None))
+    out = reassemble_cri(df).orderBy("timestamp").collect()
+    msgs = [(r["stream"], r["message"], r["n_chunks"]) for r in out]
+    assert ("stdout", "chunk-a chunk-b chunk-c", 3) in msgs
+    assert ("stdout", "single", 1) in msgs
+    assert ("stderr", "other-stream", 1) in msgs
+    assert len(msgs) == 3
+    ts = {r["message"]: r["timestamp"] for r in out}
+    assert ts["chunk-a chunk-b chunk-c"] == dt.datetime(2026, 8, 17, 10, 0, 0)

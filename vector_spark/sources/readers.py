@@ -233,6 +233,45 @@ def read_text_decoded(
     return df.withColumn(out_col, _DECODERS[codec](F.col(value_col), schema))
 
 
+def reassemble_cri(
+    df: DataFrame,
+    *,
+    group_by: list[str] = ("src", "stream"),
+    ord_col: str = "line_no",
+    decoded_col: str = "decoded",
+) -> DataFrame:
+    """Merge CRI partial lines (tag P) into full messages: a record is
+    consecutive P lines closed by the F line — reduce's ends_when flush
+    applied per (source file, stream).  Input: rows with the `cri`
+    codec's decoded struct + an order column."""
+    from vector_spark.operators.reduce import reduce_events, reduce_segments
+
+    d = F.col(decoded_col)
+    flat = df.select(
+        *group_by,
+        F.col(ord_col),
+        d.getField("timestamp").alias("_ts"),
+        d.getField("partial").alias("_partial"),
+        d.getField("message").alias("_msg"),
+    ).filter(F.col("_msg").isNotNull())
+    seg = reduce_segments(
+        flat, list(group_by), ord_col=ord_col,
+        ends_when=~F.col("_partial"),
+    )
+    return (
+        reduce_events(
+            seg,
+            group_by=list(group_by) + ["_segment"],
+            strategies={"message": ("concat_raw", "_msg"),
+                        "n_chunks": ("count", "_msg")},
+            ord_col=ord_col,
+            ts_col="_ts",
+        )
+        .withColumnRenamed("_ts", "timestamp")
+        .drop("_segment", "_ts_end", "timestamp_end")
+    )
+
+
 def demo_logs(
     spark: SparkSession,
     n: int,
