@@ -463,3 +463,15 @@ def test_base64url_round_trip(spark):
     assert _one(spark, vrl.decode_base64url(F.lit(url))) == payload
     # std and url encode the same bytes
     assert std.replace("+", "-").replace("/", "_").rstrip("=") == url
+
+
+def test_get_path_and_map_contains(spark):
+    nested = F.struct(
+        F.array(
+            F.struct(F.create_map(F.lit("k"), F.lit("v")).alias("attrs"))
+        ).alias("items")
+    )
+    assert _one(spark, vrl.get_path(nested, ["items", 0, "attrs", "k"])) == "v"
+    m = F.create_map(F.lit("a"), F.lit("1"))
+    assert _one(spark, vrl.map_contains_key(m, "a")) is True
+    assert _one(spark, vrl.map_contains_key(m, "z")) is False

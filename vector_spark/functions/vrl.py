@@ -471,6 +471,24 @@ def del_fields(df, *cols: str):
     return df.drop(*cols)
 
 
+def get_path(col: Column, path: list) -> Column:
+    """VRL get(value, path): walk struct fields / map keys / array
+    indices (ints are 0-based array positions, like VRL)."""
+    out = col
+    for p in path:
+        if isinstance(p, int):
+            out = F.element_at(out, p + 1)
+        else:
+            # getField resolves on structs AND maps (GetMapValue)
+            out = out.getField(p)
+    return out
+
+
+def map_contains_key(col: Column, key) -> Column:
+    """exists on a map key (VRL exists(.attrs.key))."""
+    return F.array_contains(F.map_keys(col), key)
+
+
 def exists(col: Column) -> Column:
     return col.isNotNull()
 
