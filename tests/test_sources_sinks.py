@@ -361,3 +361,16 @@ def test_reassemble_cri_partials(spark):
     assert len(msgs) == 3
     ts = {r["message"]: r["timestamp"] for r in out}
     assert ts["chunk-a chunk-b chunk-c"] == dt.datetime(2026, 8, 17, 10, 0, 0)
+
+
+def test_read_container_logs_end_to_end(spark, tmp_path):
+    (tmp_path / "pod1.log").write_text(
+        "2026-08-17T10:00:00Z stdout P hello \n"
+        "2026-08-17T10:00:01Z stdout F world\n"
+        "2026-08-17T10:00:02Z stderr F oops\n"
+    )
+    from vector_spark.sources.readers import read_container_logs
+
+    out = read_container_logs(spark, str(tmp_path)).collect()
+    got = {(r["stream"], r["message"]) for r in out}
+    assert got == {("stdout", "hello world"), ("stderr", "oops")}

@@ -272,6 +272,22 @@ def reassemble_cri(
     )
 
 
+def read_container_logs(spark: SparkSession, path: str) -> DataFrame:
+    """Kubernetes container logs end to end: per-file ordered lines
+    (wholetext split, same as read_text_multiline) → CRI decode →
+    partial-line reassembly per (file, stream).  Output:
+    (src, stream, message, n_chunks, timestamp)."""
+    raw = spark.read.text(path, wholetext=True)
+    lines = raw.select(
+        F.input_file_name().alias("src"),
+        F.posexplode(
+            F.split(F.regexp_replace("value", r"\n$", ""), "\n")
+        ).alias("line_no", "value"),
+    )
+    decoded = lines.withColumn("decoded", _decode_cri(F.col("value"), None))
+    return reassemble_cri(decoded)
+
+
 def demo_logs(
     spark: SparkSession,
     n: int,
