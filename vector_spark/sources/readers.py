@@ -284,7 +284,9 @@ def read_container_logs(spark: SparkSession, path: str) -> DataFrame:
             F.split(F.regexp_replace("value", r"\n$", ""), "\n")
         ).alias("line_no", "value"),
     )
-    decoded = lines.withColumn("decoded", _decode_cri(F.col("value"), None))
+    decoded = lines.withColumn(
+        "decoded", _decode_cri(F.col("value"), None)
+    ).withColumn("stream", F.col("decoded.stream"))
     return reassemble_cri(decoded)
 
 
