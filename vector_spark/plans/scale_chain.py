@@ -72,8 +72,10 @@ def synth_scale_events(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
-def scale_chain(df: DataFrame) -> DataFrame:
-    """The 12 transforms, in the reference's order."""
+def scale_chain(df: DataFrame, *, portable_sample: bool = False) -> DataFrame:
+    """The 12 transforms, in the reference's order.
+    ``portable_sample`` swaps xxhash64 for the md5-prefix hash so the
+    DuckDB oracle can replicate the sampling decision."""
     from vector_spark.functions import vrl
 
     # 1. parse_raw_message: JSON → nested object (kept when parseable)
@@ -131,7 +133,7 @@ def scale_chain(df: DataFrame) -> DataFrame:
     from vector_spark.operators.sample import sample
 
     df = sample(df, rate=2, key_field="event_id", group_by=["service"],
-                stamp=False)
+                stamp=False, portable=portable_sample)
     # 11. severity classification
     msg_low = F.lower(F.col("message"))
     df = df.withColumn(

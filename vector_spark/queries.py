@@ -47,6 +47,9 @@ from vector_spark.registry import (  # noqa: F401
 #: the driver compares at sf0.01
 N_ORACLE = 60_000
 
+#: DuckDB rendering of the portable md5-prefix 60-bit hash
+_H60_SQL = "try_cast(concat('0x', substr(md5({e}), 1, 15)) AS BIGINT)"
+
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -798,6 +801,58 @@ def q_vpc_flow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scale_chain_rows",
+    f"""
+WITH seq AS (SELECT range AS id FROM range({N_ORACLE})),
+r AS (
+  SELECT id,
+         (id * 2654435761) % 2147483647 AS r1,
+         (id * 1103515245 + 12345) % 2147483647 AS r2
+  FROM seq
+),
+b AS (
+  SELECT id AS event_id,
+         (['api-service', 'auth-service', 'internal-metrics-agent',
+           'billing-service'])[(r1 % 4) + 1] AS service,
+         CAST(CASE WHEN r2 % 10 < 9 THEN 200 ELSE 500 END AS INT) AS status,
+         CAST(r1 % 100000 AS BIGINT) AS bytes,
+         concat('host-', CAST(r2 % 50 AS VARCHAR)) AS src_host
+  FROM r
+),
+keep AS (
+  SELECT * FROM b
+  WHERE {_H60_SQL.format(
+      e="concat_ws('|', service, CAST(event_id AS VARCHAR))")} % 2 = 0
+)
+SELECT event_id, service, status, bytes, src_host,
+       2 AS n_tags, 'info' AS severity_class
+FROM keep""",
+)
+def q_scale_chain_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 12-step scaling chain (plans/scale_chain.py,
+    regression/cases/scale_sync_only_8_cpu) under the hash gate: the
+    oracle recomputes the expected survivors and their fields straight
+    from the deterministic generator, so a break in ANY chain step —
+    grok parse (status/bytes), renames (src_host), ddtags filter
+    (n_tags), service filter, per-service sampling, severity
+    classification — shows up as a row or hash mismatch."""
+    from vector_spark.data.transcripts import n_turns_for_sf_dir
+    from vector_spark.plans.scale_chain import scale_chain, synth_scale_events
+
+    n = n_turns_for_sf_dir(sf_dir)
+    out = scale_chain(synth_scale_events(spark, n), portable_sample=True)
+    return out.select(
+        "event_id",
+        "service",
+        F.col("http.status").alias("status"),
+        F.col("http.bytes").alias("bytes"),
+        "src_host",
+        F.size("ddtags").alias("n_tags"),
+        "severity_class",
+    )
+
+
+@register(
     "multiline_records",
     transcripts_cte(N_ORACLE)
     + """,
@@ -942,9 +997,6 @@ def q_sample_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_transcripts(spark, sf_dir)
     key = F.col("turn_idx").cast("long") * 2654435761 + F.length("text")
     return sample_mod(df, 7, key).select("conv_id", "turn_idx", "sample_rate")
-
-
-_H60_SQL = "try_cast(concat('0x', substr(md5({e}), 1, 15)) AS BIGINT)"
 
 
 @register(
