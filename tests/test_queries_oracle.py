@@ -20,6 +20,22 @@ def test_query_matches_oracle(spark, ddb, name):
     assert_frames_match(sdf, ddb.sql(oracle))
 
 
+def test_driver_window_covers_datapipe_suite():
+    """The driver's CORRECTNESS gate checks the first 50 registered
+    queries; the r2 verdict found the datapipe suite starved out of
+    that window.  Pin the invariant: every doc_*/emb_* query sits
+    inside the first 50 returned by queries()."""
+    import __spark_entry__ as e
+
+    window = list(e.queries())[:50]
+    datapipe = [k for k in _REGISTRY if k.startswith(("doc_", "emb_"))]
+    assert datapipe, "datapipe queries must be registered"
+    missing = [k for k in datapipe if k not in window]
+    assert not missing, f"datapipe queries outside driver window: {missing}"
+    # ordering must not drop or duplicate anything
+    assert sorted(e.queries()) == sorted(_REGISTRY)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
