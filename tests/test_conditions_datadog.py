@@ -63,6 +63,10 @@ CASES = [
     # ranges (numeric and string)
     ("n:[1 TO 5]", {"n": 5.0}, {"n": 5.5}),
     ("a:[a TO c]", {"a": "b"}, {"a": "d"}),
+    # non-numeric comparison bound (Datadog accepts dates here):
+    # lexicographic string comparison, not a crash
+    ("status:>abc", {"status": "xyz"}, {"status": "aaa"}),
+    ("a:<=2026-08-17", {"a": "2026-08-01"}, {"a": "2026-12-31"}),
     # boolean composition + parentheses + implicit AND
     ("host:foo AND n:>1", {"host": "foo", "n": 2.0}, {"host": "foo", "n": 0.5}),
     ("host:foo n:>1", {"host": "foo", "n": 2.0}, {"host": "bar", "n": 2.0}),

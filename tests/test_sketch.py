@@ -72,6 +72,25 @@ def test_quantile_zero_bin(spark):
     assert p50 == 0.0
 
 
+def test_null_values_are_not_samples(spark):
+    """NULL input must be ignored entirely — not counted as zero
+    (reference AgentDDSketch only ingests real samples)."""
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("a", 100.0), ("a", 0.0)],
+        "g string, v double",
+    )
+    row = ddsketch(df, ["g"], "v").first()
+    assert row["total"] == 2  # the NULLs are gone
+    assert row["n_zero"] == 1
+    p50 = (
+        ddsketch(df, ["g"], "v")
+        .select(ddsketch_quantile(
+            F.col("sketch"), F.col("n_zero"), F.col("total"), 0.99))
+        .first()[0]
+    )
+    assert abs(p50 - 100.0) / 100.0 <= 0.03
+
+
 def test_distribution_and_set(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 1.0), ("a", 2.0), ("b", 3.0)], "g string, v double"

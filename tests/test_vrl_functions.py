@@ -247,6 +247,20 @@ def test_nullish_and_empty(spark):
     assert _one(spark, vrl.is_nullish(F.lit("x"))) is False
     assert _one(spark, vrl.is_empty(F.lit(""))) is True
     assert _one(spark, vrl.is_empty(F.lit("a"))) is False
+    # containers: VRL is_empty([]) == is_empty({}) == true
+    assert _one(spark, vrl.is_empty(F.array(), kind="array")) is True
+    assert _one(spark, vrl.is_empty(F.array(F.lit(1)), kind="array")) is False
+    assert _one(
+        spark, vrl.is_empty(F.map_from_arrays(F.array(), F.array()),
+                            kind="map")
+    ) is True
+    assert _one(
+        spark,
+        vrl.is_empty(
+            F.map_from_arrays(F.array(F.lit("k")), F.array(F.lit("v"))),
+            kind="map",
+        ),
+    ) is False
 
 
 def test_case_conversions(spark):
@@ -442,6 +456,12 @@ def test_parse_syslog_5424(spark):
         F.lit("<34>1 2026-01-01T00:00:00Z - - - - - hello")))
     assert v2["hostname"] is None and v2["message"] == "hello"
     assert _one(spark, vrl.parse_syslog_5424(F.lit("not syslog"))) is None
+    # multiple consecutive SD elements all land in structured_data
+    v3 = _one(spark, vrl.parse_syslog_5424(F.lit(
+        '<165>1 2026-08-17T10:00:00Z h app 1 ID '
+        '[a x="1"][b y="2"] hello')))
+    assert v3["structured_data"] == '[a x="1"][b y="2"]'
+    assert v3["message"] == "hello"
 
 
 def test_parse_glog(spark):

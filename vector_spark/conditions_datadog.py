@@ -160,8 +160,15 @@ def datadog_search(
             )
         m = re.match(r"^(>=|<=|>|<)(.+)$", raw)
         if m:
-            op, num = m.group(1), float(m.group(2))
-            c = col.cast("double")
+            op, operand = m.group(1), m.group(2)
+            try:
+                num: object = float(operand)
+                c = col.cast("double")
+            except ValueError:
+                # non-numeric bound (Datadog accepts dates here):
+                # lexicographic string comparison, like the range branch
+                num = _unescape(operand)
+                c = col.cast("string")
             return _null_safe(
                 {"<": c < num, "<=": c <= num, ">": c > num, ">=": c >= num}[op]
             )

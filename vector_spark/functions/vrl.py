@@ -119,15 +119,19 @@ def parse_glog(col: Column) -> Column:
 parse_klog = parse_glog
 
 
+#: SD capture matches one-or-more consecutive [..] elements (or '-'):
+#: '[a x="1"][b y="2"] msg' keeps BOTH elements in structured_data
+#: rather than leaking the second into message.
 SYSLOG_5424 = (
-    r"^<(\d+)>1 (\S+) (\S+) (\S+) (\S+) (\S+) (\[.*?\]|-) ?(.*)$"
+    r"^<(\d+)>1 (\S+) (\S+) (\S+) (\S+) (\S+) ((?:\[.*?\])+|-) ?(.*)$"
 )
 
 
 def parse_syslog_5424(col: Column) -> Column:
     """RFC5424 structured syslog → struct (the syslog codec's modern
     format; facility/severity split like :func:`parse_syslog`;
-    '-' nil values become null)."""
+    '-' nil values become null).  structured_data is kept as the raw
+    string of all SD elements concatenated."""
     raw = regex_extract_struct(
         col, SYSLOG_5424,
         ["pri", "timestamp", "hostname", "appname", "procid", "msgid",
@@ -1101,8 +1105,14 @@ mod = F.pmod
 # Type checks
 
 
-def is_empty(col: Column) -> Column:
-    """VRL is_empty over string/array/map."""
+def is_empty(col: Column, kind: str = "string") -> Column:
+    """VRL is_empty over string/array/map (is_empty("") ==
+    is_empty([]) == is_empty({}) == true).  A Spark Column carries no
+    type before analysis, so pass kind='array'|'map' for containers —
+    they use F.size; the default string branch uses F.length (casting
+    an array to string would render '[]' with length 2)."""
+    if kind in ("array", "map"):
+        return F.coalesce(F.size(col) == 0, F.lit(True))
     return F.coalesce(F.length(col.cast("string")) == 0, F.lit(True))
 
 

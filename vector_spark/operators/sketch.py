@@ -63,7 +63,12 @@ def ddsketch(
     merge-then-build == build-directly is a testable invariant."""
     b = bucket_index(F.col(value_col), alpha)
     per_bucket = (
-        df.withColumn("_b", b)
+        # NULL values are missing samples, not zeros: bucket_index maps
+        # both NULL and 0 to a NULL key, so without this filter a NULL
+        # would land in n_zero/total and drag quantiles toward 0
+        # (reference AgentDDSketch only ingests real samples).
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("_b", b)
         .groupBy(*group_by, "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
