@@ -46,6 +46,73 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert near_hits / len(near_ids) >= 0.9
 
 
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """1k identical docs share every band key: uncapped LSH would emit
+    ~500k candidate pairs (O(bucket²)); the bucket cap must bound the
+    output, the stats helper must report exactly what was skipped, and
+    a normal corpus must be unaffected by the default cap."""
+    from vector_spark.datapipe.dedup import lsh_bucket_stats
+
+    clones = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same degenerate document text repeated many words "
+              "to make shingles").alias("text"),
+    )
+    sigs = minhash_signatures(clones)
+    capped = lsh_candidates(sigs, max_bucket=100)
+    assert capped.count() == 0  # every bucket oversized → skipped
+    stats = lsh_bucket_stats(sigs, max_bucket=100).first()
+    assert stats["n_oversized"] == stats["n_buckets"] > 0
+    assert stats["rows_in_oversized"] == 1000 * stats["n_buckets"]
+    # uncapped path still exists for small corpora
+    assert lsh_candidates(sigs.limit(50), max_bucket=None).count() == 50 * 49 // 2
+
+    # normal corpus: default cap changes nothing
+    dup = _dup_df(spark, SF_DIR)
+    s2 = minhash_signatures(dup)
+    assert (
+        lsh_candidates(s2).exceptAll(lsh_candidates(s2, max_bucket=None)).count()
+        == 0
+    )
+
+
+def test_simhash_plan_has_no_bit_explosion(spark):
+    """The de-exploded simhash: the 32 bit-votes are conditional sums
+    inside one groupBy — the plan must not explode sequence(0,31) (the
+    old 32× row blowup) and only the shingle Generate may remain."""
+    dup = _dup_df(spark, SF_DIR)
+    plan = simhash(dup)._jdf.queryExecution().executedPlan().toString()
+    assert "sequence(0, 31" not in plan
+    # exactly one Generate: the shingle explode (by design)
+    assert plan.count("Generate explode") == 1
+    # and exactly one shuffle: the groupBy(doc_id) collect_set
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_short_and_empty_docs_do_not_crash_shingling(spark):
+    """Docs with fewer words than the shingle width used to compile to
+    slice(words, 0, n) and crash the whole job
+    (INVALID_PARAMETER_VALUE.START); they must simply produce zero
+    shingles and drop out of signature outputs, matching the DuckDB
+    oracle's range(greatest(len-2,0)) semantics."""
+    from vector_spark.datapipe.dedup import shingle_hash_array, shingles
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a b c d e"), (4, "   "), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = shingles(df.filter("text is not null")).collect()
+    assert {r["doc_id"] for r in rows} == {3}
+    assert minhash_signatures(df.filter("text is not null")).count() == 1
+    assert simhash(df.filter("text is not null")).count() == 1
+    arrs = (
+        df.filter("text is not null")
+        .select("doc_id", shingle_hash_array().alias("hs"))
+        .collect()
+    )
+    assert {r["doc_id"]: len(r["hs"]) for r in arrs} == {1: 0, 2: 0, 3: 3, 4: 0}
+
+
 def test_simhash_near_dups_are_hamming_close(spark):
     dup = _dup_df(spark, SF_DIR)
     sh = simhash(dup)
