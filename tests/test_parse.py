@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import assert_frames_match
@@ -24,6 +25,59 @@ def test_grok_compiler():
 
     m = re.match(f"^{regex}$", "1.2.3.4 - GET 42")
     assert m and m.groups() == ("1.2.3.4", "GET", "42")
+
+
+def test_grok_base_set_composites():
+    """The logstash base set: composite patterns expand recursively
+    with fields in capture-group order, and every shipped pattern
+    compiles to a valid plain regex (Java/RE2-safe subset)."""
+    import re
+
+    from vector_spark.functions.grok import (
+        GROK_PATTERNS, GrokError, grok_field_types,
+    )
+
+    rx, fields = grok_to_regex("%{COMBINEDAPACHELOG}")
+    line = ('10.0.0.1 - bob [17/Aug/2026:10:00:00 +0000] '
+            '"POST /api/v1?x=2 HTTP/1.1" 503 1234 '
+            '"http://ref.example/" "curl/8.0"')
+    m = re.match(f"^{rx}$", line)
+    assert m
+    got = dict(zip(fields, m.groups()))
+    assert got["clientip"] == "10.0.0.1" and got["auth"] == "bob"
+    assert got["verb"] == "POST" and got["request"] == "/api/v1?x=2"
+    assert got["response"] == "503" and got["bytes"] == "1234"
+    assert got["referrer"] == '"http://ref.example/"'  # QS keeps quotes
+
+    rx2, f2 = grok_to_regex("%{SYSLOGLINE}")
+    m2 = re.match(f"^{rx2}$",
+                  "Aug 17 10:00:00 web01 sshd[991]: Accepted publickey")
+    got2 = dict(zip(f2, m2.groups()))
+    assert got2["logsource"] == "web01" and got2["program"] == "sshd"
+    assert got2["pid"] == "991" and got2["message"] == "Accepted publickey"
+
+    rx3, _ = grok_to_regex("%{URI:u}")
+    assert re.match(f"^{rx3}$", "https://user@host.example:8443/p/x?a=1")
+
+    # every shipped pattern compiles standalone
+    for name in GROK_PATTERNS:
+        re.compile(grok_to_regex("%{" + name + ":x}")[0])
+
+    # type annotations and duplicate-field disambiguation
+    assert grok_field_types("%{NUMBER:bytes:int} %{WORD:w}") == {"bytes": "int"}
+    _, dup = grok_to_regex("%{WORD:w} %{WORD:w}")
+    assert dup[0] == "w" and dup[1] != "w"
+
+    with pytest.raises(GrokError, match="unknown grok pattern"):
+        grok_to_regex("%{NO_SUCH_PATTERN:x}")
+
+    # recursion bound: a self-referencing pattern fails loudly
+    GROK_PATTERNS["_SELF"] = "%{_SELF}"
+    try:
+        with pytest.raises(GrokError, match="recursion"):
+            grok_to_regex("%{_SELF}")
+    finally:
+        del GROK_PATTERNS["_SELF"]
 
 
 def test_jvm_matches_oracle(spark, ddb):

@@ -672,6 +672,54 @@ def q_nginx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grok_apache_combined",
+    parsed_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx, client_ip AS clientip,
+       coalesce(username, '-') AS auth,
+       log_time AS ts_str, http_method AS verb, http_url AS request,
+       http_status::VARCHAR AS response, http_bytes::VARCHAR AS bytes,
+       '"-"' AS referrer, '"Mozilla/5.0 (X11; Linux)"' AS agent
+FROM parsed WHERE format = 'apache'""",
+)
+def q_grok_apache_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_grok with the logstash COMBINEDAPACHELOG composite
+    pattern (the base-set breadth the reference resolves for real
+    parse_grok configs): apache-format turns re-rendered as combined
+    log lines, grok-parsed back; the oracle recovers the fields
+    directly, so the recursive grok compiler is under the hash gate."""
+    from vector_spark.functions.parse import parse_transcripts
+    from vector_spark.functions.vrl import parse_grok
+
+    df = parse_transcripts(load_transcripts(spark, sf_dir)).filter(
+        F.col("format") == "apache"
+    )
+    line = F.concat(
+        F.col("parsed.client_ip"), F.lit(" - "),
+        F.coalesce(F.col("parsed.username"), F.lit("-")),
+        F.lit(" ["), F.col("parsed.log_time"), F.lit('] "'),
+        F.col("parsed.http_method"), F.lit(" "),
+        F.col("parsed.http_url"), F.lit(' HTTP/1.1" '),
+        F.col("parsed.http_status").cast("string"), F.lit(" "),
+        F.col("parsed.http_bytes").cast("string"),
+        F.lit(' "-" "Mozilla/5.0 (X11; Linux)"'),
+    )
+    g = parse_grok(line, "%{COMBINEDAPACHELOG}")
+    return df.select(
+        "conv_id", "turn_idx",
+        g.getField("clientip").alias("clientip"),
+        g.getField("auth").alias("auth"),
+        g.getField("timestamp").alias("ts_str"),
+        g.getField("verb").alias("verb"),
+        g.getField("request").alias("request"),
+        g.getField("response").alias("response"),
+        g.getField("bytes").alias("bytes"),
+        g.getField("referrer").alias("referrer"),
+        g.getField("agent").alias("agent"),
+    )
+
+
+@register(
     "reduce_ends_when",
     transcripts_cte(N_ORACLE)
     + """,
