@@ -29,6 +29,81 @@ def outdir():
     shutil.rmtree(OUT, ignore_errors=True)
 
 
+def test_octet_counting_framing(spark):
+    """RFC6587 octet counting: encode→concat→decode recovers frames
+    byte-exactly, including frames containing newlines and digits; a
+    non-digit prefix falls back to newline framing; oversized frames
+    are discarded (the reference's Discarding state)."""
+    from vector_spark.sources.readers import octet_encode, octet_frames
+
+    msgs = ["hello world", "line\nwith newline", "123 starts with digits", "x"]
+    df = spark.createDataFrame([(m,) for m in msgs], "msg string")
+    payload = df.agg(
+        F.concat_ws("", F.collect_list(octet_encode(F.col("msg")))).alias("p")
+    )
+    [row] = payload.select(octet_frames(F.col("p")).alias("f")).collect()
+    assert row["f"] == msgs
+
+    # fallback: plain newline-framed payload (no octet counts)
+    [r2] = spark.createDataFrame(
+        [("plain one\nplain two",)], "p string"
+    ).select(octet_frames(F.col("p")).alias("f")).collect()
+    assert r2["f"] == ["plain one", "plain two"]
+
+    # max_length discards the oversized frame, keeps the rest
+    [r3] = payload.select(
+        octet_frames(F.col("p"), max_length=12).alias("f")
+    ).collect()
+    assert r3["f"] == ["hello world", "x"]
+
+    # multi-byte chars: length is octets, not chars
+    [r4] = spark.createDataFrame([("héllo",)], "m string").select(
+        octet_frames(octet_encode(F.col("m"))).alias("f")
+    ).collect()
+    assert r4["f"] == ["héllo"]
+
+
+def test_length_delimited_framing(spark):
+    from vector_spark.sources.readers import (
+        length_delimited_encode,
+        length_delimited_frames,
+    )
+
+    msgs = ["alpha", "beta with spaces", ""]
+    df = spark.createDataFrame([(m.encode(),) for m in msgs], "msg binary")
+    payload = df.agg(
+        F.aggregate(
+            F.collect_list(length_delimited_encode(F.col("msg"))),
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x),
+        ).alias("p")
+    )
+    [row] = payload.select(
+        length_delimited_frames(F.col("p")).alias("f")
+    ).collect()
+    assert [bytes(b).decode() for b in row["f"]] == msgs
+
+
+def test_gelf_chunk_reassembly(spark):
+    from vector_spark.sources.readers import GELF_MAGIC, reassemble_gelf_chunks
+
+    def chunk(msg_id: bytes, seq: int, total: int, body: bytes) -> bytes:
+        return GELF_MAGIC + msg_id + bytes([seq, total]) + body
+
+    rows = [
+        (chunk(b"AAAAAAAA", 1, 2, b"-world"),),   # out of order
+        (chunk(b"AAAAAAAA", 0, 2, b"hello"),),
+        (b'{"short":"unchunked"}',),               # passes through
+        (chunk(b"BBBBBBBB", 0, 3, b"in"),),        # incomplete: dropped
+    ]
+    df = spark.createDataFrame(rows, "payload binary")
+    got = sorted(
+        bytes(r["message"]).decode()
+        for r in reassemble_gelf_chunks(df).collect()
+    )
+    assert got == sorted(['{"short":"unchunked"}', "hello-world"])
+
+
 def test_read_source_formats(spark, tmp_path):
     t = transcripts_table(spark, 1000)
     assert read_source(spark, "parquet", "/root/testdata/sf0.001/events.parquet").count() == 1000

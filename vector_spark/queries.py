@@ -720,6 +720,50 @@ def q_grok_apache_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "octet_framed_syslog",
+    transcripts_cte(N_ORACLE)
+    + """
+SELECT conv_id,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+            AS INT) AS frame_idx,
+       text AS message
+FROM transcripts""",
+)
+def q_octet_framed_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC6587 octet-counting framing round-trip
+    (lib/codecs/src/decoding/framing/octet_counting.rs): every turn is
+    octet-encoded, the per-conversation frames are concatenated into
+    one payload (no separators — only the octet counts delimit), and
+    the framer must recover every frame byte-exactly in order; the
+    oracle reads the turns directly."""
+    from vector_spark.sources.readers import octet_encode, octet_frames
+
+    t = load_transcripts(spark, sf_dir)
+    payloads = t.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("turn_idx"),
+                            octet_encode(F.col("text")).alias("frame"),
+                        )
+                    )
+                ),
+                lambda x: x["frame"],
+            ),
+            "",
+        ).alias("payload")
+    )
+    return payloads.select(
+        "conv_id",
+        F.posexplode(octet_frames(F.col("payload"))).alias(
+            "frame_idx", "message"
+        ),
+    )
+
+
+@register(
     "reduce_ends_when",
     transcripts_cte(N_ORACLE)
     + """,

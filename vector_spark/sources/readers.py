@@ -16,6 +16,7 @@ shape is identical once the jar is present).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from vector_spark.functions import vrl
@@ -231,6 +232,144 @@ def read_text_decoded(
         raise ValueError(f"unknown codec {codec!r}; have {sorted(_DECODERS)}")
     df = spark.read.text(path)
     return df.withColumn(out_col, _DECODERS[codec](F.col(value_col), schema))
+
+
+# ---------------------------------------------------------------------------
+# Framing modes beyond newline
+# (/root/reference/lib/codecs/src/decoding/framing/: octet_counting.rs,
+#  length_delimited.rs, chunked_gelf.rs)
+
+
+def octet_encode(col: Column) -> Column:
+    """RFC6587 octet-counting encoder: ``<len> <msg>`` with len in
+    BYTES (octet_length, not char length)."""
+    return F.concat(
+        F.octet_length(col).cast("string"), F.lit(" "), col
+    )
+
+
+def octet_frames(col: Column, max_length: int | None = None) -> Column:
+    """Split an octet-counted payload into frames (array<string>).
+
+    RFC6587 §3.4.1 (octet_counting.rs:39-120): each frame is
+    ``<digits> SP <exactly-that-many-octets>``; when the buffer does
+    not start with a digit the decoder falls back to newline framing
+    for that segment (the reference's LinesCodec fallback), and frames
+    longer than ``max_length`` are discarded (Discarding state).
+
+    Frame boundaries depend on prior frames — inherently sequential per
+    payload — so this is an Arrow-batched pandas UDF over whole
+    payloads (one row per file/stream, NOT per line: per-payload
+    Python, never per-frame-row)."""
+
+    @F.pandas_udf("array<string>")
+    def _frames(payloads: pd.Series) -> pd.Series:
+        def split(payload: str | None) -> list[str] | None:
+            if payload is None:
+                return None
+            buf = payload.encode("utf-8")
+            out: list[str] = []
+            while buf:
+                i = 0
+                while i < len(buf) and buf[i : i + 1].isdigit():
+                    i += 1
+                if 0 < i and buf[i : i + 1] == b" ":
+                    n = int(buf[:i])
+                    frame = buf[i + 1 : i + 1 + n]
+                    buf = buf[i + 1 + n :]
+                    if max_length is not None and n > max_length:
+                        continue  # Discarding(n): skip oversized frame
+                    out.append(frame.decode("utf-8", errors="replace"))
+                else:
+                    # not octet-framed here: newline fallback segment
+                    nl = buf.find(b"\n")
+                    seg, buf = (
+                        (buf, b"") if nl < 0 else (buf[:nl], buf[nl + 1 :])
+                    )
+                    if max_length is None or len(seg) <= max_length:
+                        out.append(seg.decode("utf-8", errors="replace"))
+            return out
+
+        return payloads.map(split)
+
+    return _frames(col)
+
+
+def length_delimited_encode(col: Column) -> Column:
+    """4-byte big-endian length prefix + payload (binary)."""
+    b = col.cast("binary")
+    # u32 BE prefix = unhex of the zero-padded 8-digit hex length —
+    # pure JVM expressions
+    prefix = F.unhex(F.lpad(F.hex(F.octet_length(b)), 8, "0"))
+    return F.concat(prefix, b)
+
+
+def length_delimited_frames(col: Column, max_length: int | None = None) -> Column:
+    """Split a length-delimited binary payload into frames
+    (array<binary>) — framing/length_delimited.rs (tokio
+    LengthDelimitedCodec defaults: u32 BE prefix)."""
+
+    @F.pandas_udf("array<binary>")
+    def _frames(payloads: pd.Series) -> pd.Series:
+        def split(payload: bytes | None) -> list[bytes] | None:
+            if payload is None:
+                return None
+            buf = bytes(payload)
+            out: list[bytes] = []
+            while len(buf) >= 4:
+                n = int.from_bytes(buf[:4], "big")
+                frame, buf = buf[4 : 4 + n], buf[4 + n :]
+                if max_length is None or n <= max_length:
+                    out.append(frame)
+            return out
+
+        return payloads.map(split)
+
+    return _frames(col)
+
+
+#: chunked-GELF magic prefix (chunked_gelf.rs: 0x1e 0x0f)
+GELF_MAGIC = b"\x1e\x0f"
+
+
+def reassemble_gelf_chunks(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Chunked-GELF reassembly (framing/chunked_gelf.rs) as a pure
+    DataFrame plan: chunk header = magic(2) + message_id(8) + seq(1) +
+    total(1); chunks group by message_id, order by seq, and only
+    complete groups (count == total) emit a message.  Unchunked
+    payloads (no magic) pass through unchanged.  One shuffle on
+    message_id."""
+    p = F.col(payload_col)
+    is_chunk = (F.octet_length(p) > 12) & (
+        F.substring(p, 1, 2) == F.lit(GELF_MAGIC)
+    )
+    chunks = df.filter(is_chunk).select(
+        F.hex(F.substring(p, 3, 8)).alias("_msg_id"),
+        F.ascii(F.substring(p, 11, 1).cast("string")).alias("_seq"),
+        F.ascii(F.substring(p, 12, 1).cast("string")).alias("_total"),
+        F.substring(p, 13, 2_147_483_647).alias("_body"),
+    )
+    whole = df.filter(~is_chunk).select(p.alias("message"))
+    assembled = (
+        chunks.groupBy("_msg_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_seq"), F.col("_body")))
+            ).alias("_parts"),
+            F.max("_total").alias("_total"),
+        )
+        .filter(F.size("_parts") == F.col("_total"))
+        .select(
+            F.aggregate(
+                F.col("_parts"),
+                F.lit(b""),
+                lambda acc, x: F.concat(acc, x["_body"]),
+            ).alias("message")
+        )
+    )
+    return whole.unionByName(assembled)
 
 
 def reassemble_cri(
