@@ -108,6 +108,66 @@ def test_compiles_to_column_usable_in_route(spark):
     assert [r["message"] for r in sinks["hot"].collect()] == ["m1"]
 
 
+TAG_CASES = [
+    # (query, matching ddtags/source, non-matching ddtags/source) —
+    # mirrors datadog_search.rs EventFilter Field::Tag / Reserved(tags)
+    ("env:prod", (["env:prod"], None), (["env:staging"], None)),
+    ("env:pro*", (["env:prod"], None), (["env:dev"], None)),
+    ('env:"pr od"', (["env:pr od"], None), (["env:prod"], None)),
+    ("_exists_:env", (["env"], None), (["other:x"], None)),
+    ("_exists_:env", (["env:prod"], None), ([], None)),
+    ("_missing_:env", (["other:x"], None), (["env:prod"], None)),
+    ('tags:"env:prod"', (["env:prod"], None), (["env"], None)),
+    ("tags:standalone", (["standalone"], None), (["standalone:x"], None)),
+    ("version:>1.5", (["version:2"], None), (["version:1"], None)),
+    ("version:<=2", (["version:2"], None), (["version:3"], None)),
+    # reserved source matches source OR ddsource columns, not tags
+    ("source:app", ([], "app"), ([], "web")),
+    # @attr stays a column lookup even in tags mode
+    ("@a:foo", ([], None, "foo"), ([], None, "bar")),
+    # reserved host stays a column lookup
+    ("host:h1", ([], None), ([], None)),
+]
+
+
+@pytest.mark.parametrize(
+    "query,ok,bad", TAG_CASES,
+    ids=[c[0] + f"#{i}" for i, c in enumerate(TAG_CASES)])
+def test_datadog_tags_array_matching(spark, query, ok, bad):
+    def matches(spec) -> bool:
+        ddtags, source = spec[0], spec[1]
+        a = spec[2] if len(spec) > 2 else None
+        host = "h1" if query.startswith("host:") and spec is ok else "h2"
+        df = spark.createDataFrame(
+            [("msg", ddtags, source, None, a, host)],
+            "message string, ddtags array<string>, source string, "
+            "ddsource string, a string, host string",
+        )
+        return (
+            df.filter(datadog_search(query, tags_cols=("ddtags",))).count()
+            == 1
+        )
+
+    assert matches(ok), f"{query} should match {ok}"
+    assert not matches(bad), f"{query} should not match {bad}"
+
+
+def test_tags_mode_multiple_tag_columns(spark):
+    """Both ddtags and tags arrays are consulted, like the
+    reference's any_string_match_multiple(["ddtags", "tags"])."""
+    df = spark.createDataFrame(
+        [("a", ["env:prod"], []), ("b", [], ["env:prod"]), ("c", [], [])],
+        "message string, ddtags array<string>, tags array<string>",
+    )
+    got = sorted(
+        r["message"]
+        for r in df.filter(
+            datadog_search("env:prod", tags_cols=("ddtags", "tags"))
+        ).collect()
+    )
+    assert got == ["a", "b"]
+
+
 def test_syntax_errors_raise():
     with pytest.raises(ValueError):
         datadog_search("(host:foo")

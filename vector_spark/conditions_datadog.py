@@ -19,10 +19,19 @@ event schemas:
 - ``field:[a TO b]`` inclusive range
 - backslash escapes in values (``va\\ lue``, ``va\\*lue``)
 
-Not covered (documented): the tags-array recursion and the
-source/ddsource aliasing — both assume Datadog's reserved event shape,
-not a user schema.  ``@attr`` maps to column ``attr`` (strip the
-marker); pass ``resolver`` to customize.
+``@attr`` maps to column ``attr`` (strip the marker); pass
+``resolver`` to customize.
+
+Tags-array matching (datadog_search.rs:102-160 EventFilter): pass
+``tags_cols=("ddtags",)`` (the array<string> columns holding
+``key:value`` tag elements) to enable Datadog's reserved event shape:
+non-``@``, non-reserved facet names become TAG facets matched against
+the array elements (``env:prod`` matches an element ``"env:prod"``;
+wildcards match per element; ``_exists_:env`` matches an element
+``"env"`` or any ``"env:..."``), the literal ``tags:value`` facet
+matches a whole element, and ``source:`` matches either the ``source``
+or ``ddsource`` column.  Default (``tags_cols=None``) keeps the flat
+schema semantics.
 
 Null semantics: every leaf is null-safe (a missing/null field never
 matches), so ``NOT`` behaves like Datadog's, not like SQL ternary
@@ -143,17 +152,94 @@ def _null_safe(c: Column) -> Column:
     return F.coalesce(c, F.lit(False))
 
 
+#: Datadog reserved (non-tag) top-level fields
+#: (datadog_search_syntax Resolver defaults)
+RESERVED_FIELDS = frozenset(
+    {"host", "message", "source", "service", "status", "tags",
+     "timestamp", "trace_id"}
+)
+
+
 def datadog_search(
     query: str,
     *,
     default_field: str = "message",
     resolver=None,
+    tags_cols: tuple[str, ...] | None = None,
 ) -> Column:
     """Compile a Datadog search query string to a boolean Column."""
     resolve = resolver or (lambda name: F.col(name.lstrip("@")))
 
+    def any_tag(pred) -> Column:
+        cond = F.lit(False)
+        for tc in tags_cols:
+            cond = cond | F.coalesce(F.exists(F.col(tc), pred), F.lit(False))
+        return cond
+
+    def is_tag_facet(field: str) -> bool:
+        return (
+            tags_cols is not None
+            and not field.startswith("@")
+            and field not in RESERVED_FIELDS
+        )
+
+    def tag_facet_match(tag: str, raw: str) -> Column:
+        """Element-wise ``tag:value`` match over the tags arrays
+        (datadog_search.rs equals/compare for Field::Tag)."""
+        if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
+            want = f"{tag}:{_unescape(raw[1:-1])}"
+            return any_tag(lambda v: v == want)
+        m = re.match(r"^(>=|<=|>|<)(.+)$", raw)
+        if m:
+            op, operand = m.group(1), m.group(2)
+            prefix = tag + ":"
+
+            def cmp(v: Column) -> Column:
+                suffix = F.substring(v, len(prefix) + 1, 2_147_483_647)
+                try:
+                    rhs: object = float(operand)
+                    c = suffix.cast("double")
+                except ValueError:
+                    rhs = _unescape(operand)
+                    c = suffix
+                cond = {
+                    "<": c < rhs, "<=": c <= rhs,
+                    ">": c > rhs, ">=": c >= rhs,
+                }[op]
+                return v.startswith(prefix) & F.coalesce(cond, F.lit(False))
+
+            return any_tag(cmp)
+        if "*" in raw.replace("\\*", ""):
+            pattern = "^" + re.escape(tag) + ":" + ".*".join(
+                re.escape(_unescape(p)) for p in re.split(r"(?<!\\)\*", raw)
+            ) + "$"
+            return any_tag(lambda v: v.rlike(pattern))
+        want = f"{tag}:{_unescape(raw)}"
+        return any_tag(lambda v: v == want)
+
+    def tag_exists(tag: str) -> Column:
+        """``_exists_:tag`` — element == tag or startswith "tag:"
+        (datadog_search.rs exists for Field::Tag)."""
+        prefix = tag + ":"
+        return any_tag(lambda v: (v == tag) | v.startswith(prefix))
+
     def facet_match(field: str, raw: str) -> Column:
-        col = resolve(field)
+        if tags_cols is not None and field == "tags":
+            # literal tags facet: match a WHOLE element
+            value = _unescape(
+                raw[1:-1] if raw.startswith('"') and raw.endswith('"') else raw
+            )
+            return any_tag(lambda v: v == value)
+        if is_tag_facet(field):
+            return tag_facet_match(field, raw)
+        if tags_cols is not None and field == "source":
+            # reserved source matches source OR ddsource
+            a = _facet_on_col(F.col("source"), raw)
+            b = _facet_on_col(F.col("ddsource"), raw)
+            return a | b
+        return _facet_on_col(resolve(field), raw)
+
+    def _facet_on_col(col: Column, raw: str) -> Column:
         if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
             return _null_safe(
                 col.cast("string") == _unescape(raw[1:-1])
@@ -210,8 +296,12 @@ def datadog_search(
         if m and m.group(2):
             field, raw = m.group(1), m.group(2)
             if field == "_exists_":
+                if is_tag_facet(raw):
+                    return tag_exists(raw)
                 return resolve(raw).isNotNull()
             if field == "_missing_":
+                if is_tag_facet(raw):
+                    return ~tag_exists(raw)
                 return resolve(raw).isNull()
             return facet_match(field, raw)
         # bare keyword → word-boundary match on the default field

@@ -720,6 +720,51 @@ def q_grok_apache_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "datadog_tags_facets",
+    transcripts_cte(N_ORACLE)
+    + """
+SELECT
+  CAST(sum(CASE WHEN role = 'assistant' AND tool = 'none' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_tag_eq,
+  CAST(sum(CASE WHEN role LIKE 'assist%' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_tag_wild,
+  CAST(sum(CASE WHEN role <> 'system' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_not_missing,
+  CAST(count(*) AS BIGINT) AS n_env
+FROM transcripts""",
+)
+def q_datadog_tags_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datadog-search reserved tags-array matching
+    (src/conditions/datadog_search.rs:102-160): turns carry a
+    ddtags array (role:/tool:/env: elements); tag facets, wildcards,
+    _missing_, and the literal tags: facet all compile to exists()
+    over the array.  The oracle recovers the same counts from the flat
+    columns the tags were built from."""
+    from vector_spark.conditions_datadog import datadog_search
+
+    df = load_transcripts(spark, sf_dir).withColumn(
+        "ddtags",
+        F.array(
+            F.concat(F.lit("role:"), F.col("role")),
+            F.concat(F.lit("tool:"), F.col("tool")),
+            F.lit("env:prod"),
+        ),
+    )
+    dd = lambda q: datadog_search(q, tags_cols=("ddtags",))  # noqa: E731
+    flag = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return df.agg(
+        flag(dd('role:assistant AND tool:none AND tags:"env:prod"')).alias(
+            "n_tag_eq"
+        ),
+        flag(dd("role:assist*")).alias("n_tag_wild"),
+        flag(dd("NOT role:system AND _missing_:region")).alias(
+            "n_not_missing"
+        ),
+        flag(dd("_exists_:env")).alias("n_env"),
+    )
+
+
+@register(
     "octet_framed_syslog",
     transcripts_cte(N_ORACLE)
     + """
