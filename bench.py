@@ -22,6 +22,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+#: loadavg when the run started — emitted in the JSON so
+#: flat-within-noise rounds are self-evident (this host carries a
+#: variable ~5 cores of background load; numbers recorded under load
+#: are NOT comparable with clean-host runs)
+_LOAD_START = os.getloadavg()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -215,6 +222,8 @@ def emit(timings: dict, n_turns: int, cpus: int) -> None:
         "n_turns": n_turns,
         "cpus": cpus,
         "turns_per_sec": round(n_turns / timings["pipeline"], 1),
+        "loadavg_start": [round(x, 2) for x in _LOAD_START],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(out))
 

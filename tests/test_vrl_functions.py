@@ -263,6 +263,50 @@ def test_nullish_and_empty(spark):
     ) is False
 
 
+def test_encrypt_decrypt_roundtrip(spark):
+    key16, key32 = "0123456789abcdef", "0123456789abcdef0123456789abcdef"
+    for algo, key in [("AES-128-GCM", key16), ("AES-256-GCM", key32),
+                      ("AES-256-CBC-PKCS7", key32), ("AES-128-ECB-PKCS7", key16)]:
+        got = _one(
+            spark,
+            vrl.decrypt(vrl.encrypt(F.lit("secret payload"), algo, key), algo, key),
+        )
+        assert got == "secret payload", algo
+    # wrong key → null (try-variant), not an exception
+    assert _one(
+        spark,
+        vrl.decrypt(
+            vrl.encrypt(F.lit("x"), "AES-256-GCM", key32),
+            "AES-256-GCM", "ffffffffffffffffffffffffffffffff",
+        ),
+    ) is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported cipher"):
+        vrl.encrypt(F.lit("x"), "ROT13", "k")
+
+
+def test_parse_ruby_hash(spark):
+    v = _one(spark, vrl.parse_ruby_hash(
+        F.lit('{ "hello" => "world", :sym => 2, "n" => nil }'),
+        "hello string, sym int, n string",
+    ))
+    assert v["hello"] == "world" and v["sym"] == 2 and v["n"] is None
+
+
+def test_parse_etld(spark):
+    assert _one(spark, vrl.parse_etld(F.lit("sub.example.co.uk"))) == "co.uk"
+    assert _one(spark, vrl.parse_etld(F.lit("sub.example.co.uk"), plus_parts=1)) == "example.co.uk"
+    assert _one(spark, vrl.parse_etld(F.lit("www.example.com"))) == "com"
+    assert _one(spark, vrl.parse_etld(F.lit("www.example.com"), plus_parts=1)) == "example.com"
+    assert _one(spark, vrl.parse_etld(F.lit("user.github.io"))) == "github.io"
+    # plus_parts clamped at the hostname length
+    assert _one(spark, vrl.parse_etld(F.lit("example.com"), plus_parts=5)) == "example.com"
+    assert _one(
+        spark, vrl.parse_etld(F.lit("x.internal.corp"), extra=("internal.corp",))
+    ) == "internal.corp"
+
+
 def test_case_conversions(spark):
     assert _one(spark, vrl.snakecase(F.lit("inputFieldName"))) == "input_field_name"
     assert _one(spark, vrl.kebabcase(F.lit("input_field name"))) == "input-field-name"

@@ -683,6 +683,98 @@ def sha3(col: Column, variant: str = "SHA3-512") -> Column:
     return _udf(col.cast("binary"))
 
 
+#: VRL cipher name -> (Spark aes mode, padding) — the AES subset of
+#: vrl::stdlib encrypt/decrypt (the reference's other ciphers —
+#: ChaCha20Poly1305 etc. — have no JVM builtin; AES-GCM/CBC/ECB cover
+#: the overwhelmingly common configs)
+_AES_MODES = {
+    "AES-256-GCM": ("GCM", "NONE"),
+    "AES-128-GCM": ("GCM", "NONE"),
+    "AES-256-CBC-PKCS7": ("CBC", "PKCS"),
+    "AES-128-CBC-PKCS7": ("CBC", "PKCS"),
+    "AES-256-ECB-PKCS7": ("ECB", "PKCS"),
+    "AES-128-ECB-PKCS7": ("ECB", "PKCS"),
+}
+
+
+def encrypt(col: Column, algorithm: str, key: str, iv: str | None = None) -> Column:
+    """VRL encrypt(plaintext, algorithm, key[, iv]) → binary ciphertext,
+    JVM-side via Spark's aes_encrypt (no Python in the path)."""
+    if algorithm not in _AES_MODES:
+        raise ValueError(
+            f"unsupported cipher {algorithm!r}; have {sorted(_AES_MODES)}"
+        )
+    mode, padding = _AES_MODES[algorithm]
+    args = [col.cast("binary"), F.lit(key.encode()), F.lit(mode), F.lit(padding)]
+    if iv is not None:
+        args.append(F.lit(iv.encode()))
+    return F.aes_encrypt(*args)
+
+
+def decrypt(col: Column, algorithm: str, key: str) -> Column:
+    """VRL decrypt(ciphertext, algorithm, key) → string plaintext
+    (try-variant: malformed input yields null, like `decrypt!` without
+    the abort)."""
+    if algorithm not in _AES_MODES:
+        raise ValueError(
+            f"unsupported cipher {algorithm!r}; have {sorted(_AES_MODES)}"
+        )
+    mode, padding = _AES_MODES[algorithm]
+    return F.try_aes_decrypt(
+        col.cast("binary"), F.lit(key.encode()), F.lit(mode), F.lit(padding)
+    ).cast("string")
+
+
+def parse_ruby_hash(col: Column, schema: str) -> Column:
+    """VRL parse_ruby_hash: ``{"k" => "v", :sym => 1}`` → struct.
+    Rewrites the hash-rocket/symbol syntax to JSON JVM-side, then
+    from_json — one expression, no Python."""
+    json_ish = F.regexp_replace(col, r":(\w+)\s*=>", '"$1":')
+    json_ish = F.regexp_replace(json_ish, r"=>", ":")
+    json_ish = F.regexp_replace(json_ish, r"\bnil\b", "null")
+    return F.from_json(json_ish, schema)
+
+
+#: public-suffix entries beyond single-label TLDs needed by
+#: parse_etld.  Single labels (com/org/...) need no table: the etld is
+#: the last label.  This mirrors the high-traffic multi-label entries
+#: of the public suffix list; extend via the `extra` parameter.
+_MULTI_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "com.tr", "com.ar", "co.za", "com.sg",
+    "github.io", "gitlab.io", "pages.dev", "s3.amazonaws.com",
+)
+
+
+def parse_etld(
+    col: Column, plus_parts: int = 0, extra: tuple[str, ...] = ()
+) -> Column:
+    """VRL parse_etld: effective TLD (+N registrable parts) of a
+    hostname, using the built-in multi-label suffix table + single-label
+    fallback.  Pure Column expressions (array ops over the split
+    hostname)."""
+    suffixes = tuple(_MULTI_LABEL_SUFFIXES) + tuple(extra)
+    parts = F.split(F.lower(col), r"\.")
+    n = F.size(parts)
+    two = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    three = F.when(
+        n >= 3,
+        F.concat_ws(
+            ".", F.element_at(parts, -3), F.element_at(parts, -2),
+            F.element_at(parts, -1),
+        ),
+    )
+    etld_len = (
+        F.when(three.isin(*suffixes), F.lit(3))
+        .when(two.isin(*suffixes), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    take = F.least(etld_len + F.lit(plus_parts), n)
+    # length must be `take`, not int-max: slice overflows start+length
+    return F.concat_ws(".", F.slice(parts, n - take + 1, take))
+
+
 def hmac_sha(col: Column, key: str, algorithm: str = "sha256") -> Column:
     """VRL hmac(value, key) — hex digest (compose with encode_base64 /
     encode_base16 like VRL does for other encodings)."""
