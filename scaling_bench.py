@@ -65,6 +65,15 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "queries_low": r_lo["queries"],
         "queries_high": r_hi["queries"],
+        # host background load during each run: the wide size competes
+        # with it, the narrow one mostly doesn't, so efficiency numbers
+        # are only comparable at similar loadavg
+        "loadavg_low": [
+            r_lo.get("loadavg_start"), r_lo.get("loadavg_end")
+        ],
+        "loadavg_high": [
+            r_hi.get("loadavg_start"), r_hi.get("loadavg_end")
+        ],
     }
     fname = (
         "SCALING_CHAIN.json" if os.environ.get("SCALE_TARGET") == "chain"

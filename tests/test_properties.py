@@ -210,3 +210,65 @@ def test_round2_operators_invariant_under_repartition(spark):
     assert all(s == segs[0] for s in segs[1:])
     sks = [sketch_fingerprint(v) for v in variants]
     assert all(s == sks[0] for s in sks[1:])
+
+
+# any unicode text (no surrogates), including digits-first lines,
+# embedded newlines, and empty strings — octet counting must survive all
+_frame_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+)
+
+
+@SET
+@given(msgs=st.lists(_frame_text, min_size=1, max_size=12))
+def test_octet_framing_roundtrip_any_text(spark, msgs):
+    """encode → concat → decode is the identity for ANY message list:
+    octet counts alone delimit frames, so digit prefixes, newlines, and
+    empty messages inside frames must all survive."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.sources.readers import octet_encode, octet_frames
+
+    df = spark.createDataFrame(
+        list(enumerate(msgs)), "i int, msg string"
+    )
+    [row] = df.agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("i", octet_encode(F.col("msg")).alias("f")))
+                ),
+                lambda x: x["f"],
+            ),
+        ).alias("p")
+    ).select(octet_frames(F.col("p")).alias("frames")).collect()
+    assert row["frames"] == msgs
+
+
+@SET
+@given(msgs=st.lists(st.binary(max_size=40), min_size=1, max_size=12))
+def test_length_delimited_roundtrip_any_bytes(spark, msgs):
+    from pyspark.sql import functions as F
+
+    from vector_spark.sources.readers import (
+        length_delimited_encode,
+        length_delimited_frames,
+    )
+
+    df = spark.createDataFrame(list(enumerate(msgs)), "i int, msg binary")
+    [row] = df.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("i", length_delimited_encode(F.col("msg")).alias("f"))
+                    )
+                ),
+                lambda x: x["f"],
+            ),
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x),
+        ).alias("p")
+    ).select(length_delimited_frames(F.col("p")).alias("frames")).collect()
+    assert [bytes(b) for b in row["frames"]] == msgs
