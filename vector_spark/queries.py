@@ -809,6 +809,105 @@ def q_octet_framed_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cri_roundtrip",
+    transcripts_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx,
+       CASE WHEN turn_idx % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
+       false AS partial, text AS message, ts AS line_ts
+FROM transcripts""",
+)
+def q_cri_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """containerd/CRI codec round-trip: turns rendered as CRI log
+    lines, decoded back; the oracle recovers the fields directly
+    (sources/readers.py _decode_cri; reference
+    lib/codecs cri format)."""
+    from vector_spark.sources.readers import _decode_cri
+
+    t = load_transcripts(spark, sf_dir)
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        F.lit(" "),
+        F.when(F.col("turn_idx") % 2 == 0, "stdout").otherwise("stderr"),
+        F.lit(" F "),
+        F.col("text"),
+    )
+    d = _decode_cri(line, None)
+    return t.select(
+        "conv_id", "turn_idx",
+        d.getField("stream").alias("stream"),
+        d.getField("partial").alias("partial"),
+        d.getField("message").alias("message"),
+        d.getField("timestamp").alias("line_ts"),
+    )
+
+
+@register(
+    "docker_json_roundtrip",
+    transcripts_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx, text AS message,
+       CASE WHEN role = 'assistant' THEN 'stdout' ELSE 'stderr' END AS stream,
+       ts AS line_ts
+FROM transcripts""",
+)
+def q_docker_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docker json-file codec round-trip (trailing newline stripped
+    from log, like the docker log driver writes it)."""
+    from vector_spark.sources.readers import _decode_docker_json
+
+    t = load_transcripts(spark, sf_dir)
+    line = F.to_json(
+        F.struct(
+            F.concat(F.col("text"), F.lit("\n")).alias("log"),
+            F.when(F.col("role") == "assistant", "stdout")
+            .otherwise("stderr")
+            .alias("stream"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias(
+                "time"
+            ),
+        )
+    )
+    d = _decode_docker_json(line, None)
+    return t.select(
+        "conv_id", "turn_idx",
+        d.getField("message").alias("message"),
+        d.getField("stream").alias("stream"),
+        d.getField("timestamp").alias("line_ts"),
+    )
+
+
+@register(
+    "gelf_roundtrip",
+    transcripts_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx, role AS host, text AS short_message,
+       CAST(turn_idx % 8 AS INT) AS level
+FROM transcripts""",
+)
+def q_gelf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GELF codec round-trip (JSON with well-known fields)."""
+    from vector_spark.sources.readers import _decode_gelf
+
+    t = load_transcripts(spark, sf_dir)
+    line = F.to_json(
+        F.struct(
+            F.lit("1.1").alias("version"),
+            F.col("role").alias("host"),
+            F.col("text").alias("short_message"),
+            (F.col("turn_idx") % 8).cast("int").alias("level"),
+        )
+    )
+    d = _decode_gelf(line, None)
+    return t.select(
+        "conv_id", "turn_idx",
+        d.getField("host").alias("host"),
+        d.getField("short_message").alias("short_message"),
+        d.getField("level").alias("level"),
+    )
+
+
+@register(
     "reduce_ends_when",
     transcripts_cte(N_ORACLE)
     + """,
