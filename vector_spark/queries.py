@@ -908,6 +908,48 @@ def q_gelf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trace_to_log_relabel",
+    transcripts_cte(N_ORACLE)
+    + """
+SELECT 'log' AS kind, CAST(count(*) AS BIGINT) AS n
+FROM transcripts WHERE role = 'tool'""",
+)
+def q_trace_to_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trace_to_log (src/transforms/trace_to_log.rs): tool turns
+    treated as trace events, re-tagged as logs; every output row must
+    carry kind='log'."""
+    from vector_spark.operators.metrics import trace_to_log
+
+    traces = (
+        load_transcripts(spark, sf_dir)
+        .filter(F.col("role") == "tool")
+        .withColumn("kind", F.lit("trace"))
+    )
+    logs = trace_to_log(traces)
+    return logs.groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "static_enrich_fields",
+    transcripts_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx, 'i-0abc123' AS instance_id,
+       'us-east-1' AS region, role
+FROM transcripts WHERE turn_idx = 0""",
+)
+def q_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aws_ec2_metadata analogue (src/transforms/aws_ec2_metadata.rs):
+    driver-resolved constant metadata columns stamped on every event."""
+    from vector_spark.operators.metrics import static_enrich
+
+    df = load_transcripts(spark, sf_dir).filter(F.col("turn_idx") == 0)
+    out = static_enrich(
+        df, {"instance_id": "i-0abc123", "region": "us-east-1"}
+    )
+    return out.select("conv_id", "turn_idx", "instance_id", "region", "role")
+
+
+@register(
     "reduce_ends_when",
     transcripts_cte(N_ORACLE)
     + """,
