@@ -190,6 +190,78 @@ def test_stream_dedupe_matches_batch(spark, stream_src):
         _sh.rmtree(dup_src, ignore_errors=True)
 
 
+def test_stream_delay_event_time_release(spark, tmp_path):
+    """delay as a streaming operator: an event releases only after the
+    watermark passes ts + delay.  Two micro-batches, 60 s delay: batch
+    1's events (t0..t0+3s) must NOT appear until batch 2 (t0+120s..)
+    advances the watermark past their release times; the stream's tail
+    (batch 2 itself) stays buffered at end-of-input."""
+    import datetime as dt
+
+    from vector_spark.streaming.pipeline import stream_delay
+
+    src = str(tmp_path / "delay_src")
+    t0 = dt.datetime(2026, 1, 1)
+    batch1 = spark.createDataFrame(
+        [("k", i, t0 + dt.timedelta(seconds=i)) for i in range(4)],
+        "key string, i int, ts timestamp",
+    )
+    batch2 = spark.createDataFrame(
+        [("k", 100 + i, t0 + dt.timedelta(seconds=120 + i)) for i in range(2)],
+        "key string, i int, ts timestamp",
+    )
+    batch1.coalesce(1).write.parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("key string, i int, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_delay(stream, delay_sec=60, key="key")
+    run_to_memory(out, "stream_delay", output_mode="append")
+    got = sorted(r["i"] for r in spark.sql("SELECT * FROM stream_delay").collect())
+    # batch-1 events release once the watermark (driven by batch 2's
+    # t0+121s max) passes ts+60s; batch-2 events' release times are
+    # beyond the final watermark → still buffered
+    assert got == [0, 1, 2, 3]
+
+
+def test_stream_delay_overflow_modes(spark, tmp_path):
+    import datetime as dt
+
+    from vector_spark.streaming.pipeline import stream_delay
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [("k", i, t0 + dt.timedelta(seconds=i)) for i in range(6)]
+
+    for mode, expected in (("forward", [0, 1, 2, 3, 4, 5]), ("drop_newest", [])):
+        src = str(tmp_path / f"delay_{mode}")
+        spark.createDataFrame(
+            rows, "key string, i int, ts timestamp"
+        ).coalesce(1).write.parquet(src)
+        stream = (
+            spark.readStream.schema("key string, i int, ts timestamp")
+            .parquet(src)
+        )
+        # delay far beyond the data range: nothing releases by time...
+        out = stream_delay(
+            stream, delay_sec=3600, key="key",
+            max_events=2, when_full=mode,
+        )
+        run_to_memory(out, f"stream_delay_{mode}", output_mode="append")
+        got = sorted(
+            r["i"]
+            for r in spark.sql(f"SELECT * FROM stream_delay_{mode}").collect()
+        )
+        if mode == "forward":
+            # first 2 buffered forever, the other 4 forwarded when full
+            assert got == [2, 3, 4, 5]
+        else:
+            # first 2 buffered, the rest dropped: nothing emitted
+            assert got == []
+
+
 def test_stream_throttle_state_spans_batches(spark, tmp_path):
     """Token-bucket state must persist across micro-batches: a key's
     budget consumed in batch 1 stays consumed in batch 2 for the same

@@ -189,6 +189,91 @@ def stream_throttle(
     )
 
 
+def stream_delay(
+    stream: DataFrame,
+    delay_sec: int,
+    key: str,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
+    max_events: int | None = None,
+    when_full: str = "forward",
+) -> DataFrame:
+    """Streaming delay (src/transforms/delay.rs:25-80): hold each event
+    until ``delay_sec`` has elapsed, re-specified in EVENT time for
+    determinism — an event releases when the stream's watermark passes
+    ``ts + delay_sec`` (the batch engine treats delay as identity; this
+    is the streaming variant where holding events is meaningful).
+
+    Buffered rows live in per-key state; an event-time timeout fires
+    the release even when no new data arrives for the key.  The bounded
+    queue mirrors the reference's overflow modes where streaming allows:
+    ``when_full='forward'`` emits immediately once ``max_events`` rows
+    are buffered (delay.rs Forward), ``'drop_newest'`` drops the
+    arriving event (DropNewest); Block has no batch analogue —
+    backpressure belongs to the engine.
+    """
+    import base64
+    import pickle
+
+    if when_full not in ("forward", "drop_newest"):
+        raise ValueError(f"unknown when_full mode {when_full!r}")
+    out_schema = stream.withWatermark(ts_col, watermark).schema
+
+    def _delay_fn(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        buf: list = (
+            [pickle.loads(base64.b64decode(s)) for s in state.get[0]]
+            if state.exists
+            else []
+        )
+        immediate: list = []
+        for pdf in pdfs:
+            for rec in pdf.sort_values(ts_col).to_dict("records"):
+                if max_events is not None and len(buf) >= max_events:
+                    if when_full == "drop_newest":
+                        continue
+                    immediate.append(rec)  # forward: bypass the queue
+                else:
+                    buf.append(rec)
+        wm_ms = state.getCurrentWatermarkMs()
+        due = [
+            r for r in buf
+            if r[ts_col].timestamp() * 1000 + delay_sec * 1000 <= wm_ms
+        ]
+        buf = [
+            r for r in buf
+            if r[ts_col].timestamp() * 1000 + delay_sec * 1000 > wm_ms
+        ]
+        out = immediate + due
+        if buf:
+            state.update((
+                [base64.b64encode(pickle.dumps(r)).decode() for r in buf],
+            ))
+            next_release = min(
+                int(r[ts_col].timestamp() * 1000) + delay_sec * 1000
+                for r in buf
+            )
+            state.setTimeoutTimestamp(max(next_release, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            _delay_fn,
+            outputStructType=out_schema,
+            stateStructType="buf array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_dedupe(
     stream: DataFrame,
     match: list[str],
