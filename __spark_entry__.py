@@ -2,8 +2,10 @@
 
 entry(spark) runs the flagship parse→enrich→route→aggregate pipeline on
 the sf0.001-scale transcripts table; queries()/oracle_sql() expose every
-implemented operator (55+ queries) with its DuckDB oracle
-(vector_spark.queries + vector_spark.queries_datapipe).
+implemented operator (67 queries, 65 with DuckDB oracles) in an explicit
+priority order that keeps the unique-capability set — incl. the
+LLM-datapipe suite — inside the driver's 50-query verification window
+(vector_spark.registry._PRIORITY).
 """
 
 from __future__ import annotations

@@ -262,6 +262,45 @@ def test_stream_delay_overflow_modes(spark, tmp_path):
             assert got == []
 
 
+def test_stream_octet_framing_matches_batch(spark, tmp_path):
+    """Framing is a stateless projection, so it must behave identically
+    under Structured Streaming: octet-framed payload files read as a
+    stream produce exactly the batch result."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.sources.readers import octet_encode, octet_frames
+
+    src = str(tmp_path / "frames_src")
+    msgs = [f"message number {i}" for i in range(20)]
+    payloads = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(msgs)], "i int, msg string"
+    ).groupBy((F.col("i") % 3).alias("file_no")).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("i", octet_encode(F.col("msg")).alias("f")))
+                ),
+                lambda x: x["f"],
+            ),
+        ).alias("payload")
+    )
+    payloads.coalesce(1).write.parquet(src)
+
+    def frames(df):
+        return df.select(
+            F.explode(octet_frames(F.col("payload"))).alias("message")
+        )
+
+    batch = sorted(r["message"] for r in frames(spark.read.parquet(src)).collect())
+    stream = spark.readStream.schema("file_no int, payload string").parquet(src)
+    run_to_memory(frames(stream), "stream_frames", output_mode="append")
+    got = sorted(
+        r["message"] for r in spark.sql("SELECT * FROM stream_frames").collect()
+    )
+    assert got == batch == sorted(msgs)
+
+
 def test_stream_throttle_state_spans_batches(spark, tmp_path):
     """Token-bucket state must persist across micro-batches: a key's
     budget consumed in batch 1 stays consumed in batch 2 for the same
