@@ -213,3 +213,69 @@ def test_enrichment_tables_section(spark, tmp_path):
     assert rows[0]["team_color"] == "blue" and rows[0]["label"] == "human"
     # roles not in the tables enrich to null, rows preserved
     assert outs["with_label"].count() == 2000
+
+
+def test_framed_file_source_in_config(spark, tmp_path):
+    """file source with framing: octet_counting — a Vector config using
+    RFC6587 framing ports directly."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.sources.readers import octet_encode
+
+    src = str(tmp_path / "framed")
+    msgs = [f"log line {i}" for i in range(10)]
+    spark.createDataFrame([(i, m) for i, m in enumerate(msgs)], "i int, m string").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", octet_encode(F.col("m")).alias("f")))),
+                lambda x: x["f"],
+            ),
+        ).alias("value")
+    ).coalesce(1).write.text(src)
+
+    cfg = {
+        "sources": {
+            "in": {
+                "type": "file", "path": src,
+                "framing": {"method": "octet_counting"},
+            }
+        }
+    }
+    out = build_topology(spark, cfg)["in"]
+    assert sorted(r["value"] for r in out.collect()) == sorted(msgs)
+
+
+def test_geoip_enrichment_table_in_config(spark, tmp_path):
+    """enrichment_tables: {type: geoip, path: x.mmdb} + enrich_geoip
+    transform — the reference's geoip block ports directly."""
+    from tests.test_enrich_mmdb import NETWORKS, write_mmdb
+
+    mmdb = str(tmp_path / "geo.mmdb")
+    write_mmdb(mmdb, NETWORKS)
+
+    cfg = {
+        "enrichment_tables": {
+            "geo": {"type": "geoip", "path": mmdb,
+                    "fields": ["country.iso_code"]},
+        },
+        "sources": {
+            "in": {"type": "static_rows"},
+        },
+        "transforms": {
+            "located": {
+                "type": "enrich_geoip", "inputs": ["in"],
+                "table": "geo", "ip_col": "client_ip",
+            },
+        },
+    }
+    # tiny inline source: reuse the static enrichment-table mechanism
+    cfg["sources"]["in"] = {"type": "parquet", "path": str(tmp_path / "facts")}
+    spark.createDataFrame(
+        [("e1", "10.1.2.3"), ("e2", "8.8.8.8")],
+        "event string, client_ip string",
+    ).write.parquet(cfg["sources"]["in"]["path"])
+
+    out = build_topology(spark, cfg)["located"]
+    got = {r["event"]: r["country_iso_code"] for r in out.collect()}
+    assert got == {"e1": "AA", "e2": None}

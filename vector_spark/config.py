@@ -12,11 +12,15 @@ physical planner; running the sinks triggers execution.
 
 Supported component types map 1:1 to SURVEY §2 operators:
 
-sources:    parquet | csv | json | text (with codec) | transcripts
+sources:    parquet | csv | json | text (with codec) | transcripts |
+            demo_logs | file (multiline or framing: octet_counting /
+            length_delimited / chunked_gelf)
 transforms: remap(parse) | remap_exprs | filter | route | exclusive_route | sample |
             throttle | dedupe | reduce | aggregate | window | enrich |
-            log_to_metric | metric_to_log | incremental_to_absolute |
-            tag_cardinality_limit | sessionize | lineage
+            enrich_geoip | log_to_metric | metric_to_log |
+            incremental_to_absolute | tag_cardinality_limit |
+            sessionize | lineage
+enrichment_tables: csv | memory | static | geoip/mmdb (range table)
 sinks:      parquet | csv | json | console | blackhole
 """
 
@@ -106,6 +110,7 @@ def _build_source(spark: SparkSession, cfg: dict) -> DataFrame:
         return demo_logs(spark, cfg.get("n", 1000), cfg.get("format", "shuffle"))
     if typ == "file":
         # the reference's file source with optional multiline assembly
+        # and non-newline framing (decoding/framing/)
         ml = cfg.get("multiline")
         if ml:
             from vector_spark.sources.readers import read_text_multiline
@@ -115,6 +120,42 @@ def _build_source(spark: SparkSession, cfg: dict) -> DataFrame:
                 mode=ml.get("mode", "halt_before"),
                 condition_pattern=ml.get("condition_pattern"),
             )
+        framing = cfg.get("framing")
+        if framing and framing.get("method", "newline") != "newline":
+            from pyspark.sql import functions as F
+
+            method = framing["method"]
+            max_len = framing.get("max_length")
+            if method == "octet_counting":
+                from vector_spark.sources.readers import octet_frames
+
+                whole = spark.read.text(cfg["path"], wholetext=True)
+                return whole.select(
+                    F.explode(
+                        octet_frames(F.col("value"), max_len)
+                    ).alias("value")
+                )
+            if method == "length_delimited":
+                from vector_spark.sources.readers import (
+                    length_delimited_frames,
+                )
+
+                whole = spark.read.format("binaryFile").load(cfg["path"])
+                return whole.select(
+                    F.explode(
+                        length_delimited_frames(F.col("content"), max_len)
+                    ).cast("string").alias("value")
+                )
+            if method == "chunked_gelf":
+                from vector_spark.sources.readers import (
+                    reassemble_gelf_chunks,
+                )
+
+                whole = spark.read.format("binaryFile").load(cfg["path"])
+                return reassemble_gelf_chunks(
+                    whole.select(F.col("content").alias("payload")), "payload"
+                ).select(F.col("message").cast("string").alias("value"))
+            raise ConfigError(f"unknown framing method {method!r}")
         return spark.read.text(cfg["path"])
     raise ConfigError(f"unknown source type {typ!r}")
 
@@ -144,6 +185,15 @@ def _build_enrichment_tables(spark: SparkSession, config: dict) -> dict:
             )
         elif typ == "static":
             tables[name] = spark.createDataFrame(cfg["rows"], cfg["schema"])
+        elif typ in ("geoip", "mmdb"):
+            # src/enrichment_tables/{geoip,mmdb}.rs: the .mmdb file is
+            # read once at the driver into an (ip_lo, ip_hi, attrs)
+            # range table; lookups are the distributed range join
+            from vector_spark.enrich_mmdb import mmdb_range_table
+
+            tables[name] = mmdb_range_table(
+                spark, cfg["path"], cfg.get("fields")
+            )
         else:
             raise ConfigError(f"unknown enrichment table type {typ!r}")
     return tables
@@ -211,6 +261,16 @@ def _build_transform(
             before=cfg.get("num_events_before", 100),
             after=cfg.get("num_events_after", 0),
             forward_when=cfg.get("forward_when"),
+        )
+    if typ == "enrich_geoip":
+        # IP range enrichment against a geoip/mmdb/range table
+        from vector_spark.enrich import enrich_ip_ranges
+
+        if not tables or cfg["table"] not in tables:
+            raise ConfigError(f"unknown enrichment table {cfg.get('table')!r}")
+        return enrich_ip_ranges(
+            inp, tables[cfg["table"]], cfg["ip_col"],
+            how=cfg.get("strategy", "bucketed"),
         )
     if typ == "enrich":
         from vector_spark.enrich import enrich

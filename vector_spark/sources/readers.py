@@ -286,6 +286,8 @@ def octet_frames(col: Column, max_length: int | None = None) -> Column:
                     seg, buf = (
                         (buf, b"") if nl < 0 else (buf[:nl], buf[nl + 1 :])
                     )
+                    if seg == b"" and not buf:
+                        continue  # trailing newline at EOF, not a frame
                     if max_length is None or len(seg) <= max_length:
                         out.append(seg.decode("utf-8", errors="replace"))
             return out
