@@ -272,3 +272,36 @@ def test_length_delimited_roundtrip_any_bytes(spark, msgs):
         ).alias("p")
     ).select(length_delimited_frames(F.col("p")).alias("frames")).collect()
     assert [bytes(b) for b in row["frames"]] == msgs
+
+
+_apache_word = st.from_regex(r"[A-Za-z0-9_]{1,10}", fullmatch=True)
+
+
+@SET
+@given(
+    ip=st.tuples(*[st.integers(0, 255)] * 4).map(lambda t: ".".join(map(str, t))),
+    user=_apache_word,
+    verb=st.sampled_from(["GET", "POST", "PUT", "DELETE", "HEAD"]),
+    path=st.from_regex(r"/[A-Za-z0-9_./-]{0,20}", fullmatch=True),
+    status=st.integers(100, 599),
+    size=st.integers(0, 10**9),
+    agent=st.from_regex(r"[A-Za-z0-9/. ()-]{1,25}", fullmatch=True),
+)
+def test_grok_combined_apache_roundtrip(ip, user, verb, path, status, size, agent):
+    """COMBINEDAPACHELOG extracts every rendered field back, for any
+    field values in the pattern's domain (pure-Python regex check — no
+    Spark job per example)."""
+    import re
+
+    from vector_spark.functions.grok import grok_to_regex
+
+    rx, fields = grok_to_regex("%{COMBINEDAPACHELOG}")
+    line = (f'{ip} - {user} [17/Aug/2026:10:00:00 +0000] '
+            f'"{verb} {path} HTTP/1.1" {status} {size} "-" "{agent}"')
+    m = re.match(f"^{rx}$", line)
+    assert m, line
+    got = dict(zip(fields, m.groups()))
+    assert got["clientip"] == ip and got["auth"] == user
+    assert got["verb"] == verb and got["request"] == path
+    assert got["response"] == str(status) and got["bytes"] == str(size)
+    assert got["agent"] == f'"{agent}"'

@@ -32,6 +32,10 @@ def test_driver_window_covers_datapipe_suite():
     assert datapipe, "datapipe queries must be registered"
     missing = [k for k in datapipe if k not in window]
     assert not missing, f"datapipe queries outside driver window: {missing}"
+    # the round-3 capability queries must be driver-verified too
+    for q in ("grok_apache_combined", "octet_framed_syslog",
+              "datadog_tags_facets"):
+        assert q in window, f"{q} outside driver window"
     # ordering must not drop or duplicate anything
     assert sorted(e.queries()) == sorted(_REGISTRY)
 
