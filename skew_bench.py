@@ -103,6 +103,7 @@ def main() -> None:
         "speedup": round(t_naive / t_salted, 2),
         "max_partition_rows_plain": max(hist_plain),
         "max_partition_rows_salted": max(hist_salted),
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     with open("SKEW.json", "w") as f:
         json.dump(out, f, indent=2)
