@@ -154,6 +154,34 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_near_dedup_corpus",
+    _DUP_CTE + _SHINGLE_CTE + _sig_sql() + _bands_sql() + _CAND_SQL
+    + _JACCARD_SQL
+    + """,
+kill AS (SELECT DISTINCT id_b AS doc_id FROM scored WHERE jaccard >= 0.8)
+SELECT CAST(count(*) AS BIGINT) AS n_surviving,
+       CAST(sum(d.doc_id) AS BIGINT) AS survivors_checksum
+FROM dup d LEFT JOIN kill k ON d.doc_id = k.doc_id
+WHERE k.doc_id IS NULL""",
+)
+def q_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data near-dedup pipeline: minhash →
+    LSH candidates → exact-jaccard rescore ≥ 0.8 → kill the higher id
+    of each duplicate pair → anti-join the kill list.  One checksum row
+    puts the WHOLE path (not just the pair list) under the hash gate."""
+    dup = _dup_df(spark, sf_dir)
+    sigs = minhash_signatures(dup)
+    cand = lsh_candidates(sigs)
+    pairs = jaccard_pairs(dup, cand, threshold=0.8)
+    kill = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    surviving = dup.join(kill, "doc_id", "left_anti")
+    return surviving.agg(
+        F.count(F.lit(1)).alias("n_surviving"),
+        F.sum("doc_id").alias("survivors_checksum"),
+    )
+
+
+@register(
     "doc_minhash_signatures",
     _DUP_CTE + _SHINGLE_CTE + _sig_sql()
     + "\nSELECT doc_id, "

@@ -58,12 +58,12 @@ _PRIORITY: list[str] = [
     "sample_group_consistent", "throttle_5_per_10m",
     "context_window_errors", "log_to_metric_agg",
     "metric_to_log_roundtrip", "incremental_to_absolute",
-    "tag_cardinality_limit_3", "latency_quantiles", "ddsketch_quantiles",
+    "tag_cardinality_limit_3", "ddsketch_quantiles",
     # round-3 breadth: grok base patterns + framing
     "grok_apache_combined", "octet_framed_syslog",
     # LLM-datapipe suite (fell outside the r2 window; must be inside)
     "doc_exact_dedup", "doc_minhash_signatures", "doc_minhash_lsh_pairs",
-    "doc_simhash", "doc_text_analysis",
+    "doc_near_dedup_corpus", "doc_simhash", "doc_text_analysis",
     "emb_cosine_topk", "emb_ann_topk", "emb_ivf_topk",
     "emb_near_dup_pairs",
 ]
