@@ -406,3 +406,50 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=_NEAR_DUP_TABLES,
         dim=_EMB_DIM,
     )
+
+
+@register(
+    "emb_near_dedup_corpus",
+    _AUG_SQL + _buckets_sql()
+    + """,
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+),
+s AS (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(va.e, vb.e) /
+               (sqrt(list_dot_product(va.e, va.e)) *
+                sqrt(list_dot_product(vb.e, vb.e))), 6) AS cos
+  FROM cand c
+  JOIN aug va ON va.vec_id = c.id_a
+  JOIN aug vb ON vb.vec_id = c.id_b
+),
+kill AS (SELECT DISTINCT id_b AS vec_id FROM s WHERE cos >= 0.9)
+SELECT CAST(count(*) AS BIGINT) AS n_surviving,
+       CAST(sum(a.vec_id) AS BIGINT) AS survivors_checksum
+FROM aug a LEFT JOIN kill k ON a.vec_id = k.vec_id
+WHERE k.vec_id IS NULL""",
+)
+def q_emb_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dedup end to end: LSH-bucket candidates →
+    exact cosine rescore ≥ 0.9 → kill the higher id → anti-join — the
+    dedup-by-embedding path a training pipeline runs, as one checksum
+    row under the hash gate."""
+    from vector_spark.datapipe.similarity import near_dup_pairs
+
+    aug = _aug_emb(spark, sf_dir)
+    pairs = near_dup_pairs(
+        aug,
+        threshold=0.9,
+        n_planes=_NEAR_DUP_PLANES,
+        n_tables=_NEAR_DUP_TABLES,
+        dim=_EMB_DIM,
+    )
+    kill = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    surviving = aug.join(kill, "vec_id", "left_anti")
+    return surviving.agg(
+        F.count(F.lit(1)).alias("n_surviving"),
+        F.sum("vec_id").alias("survivors_checksum"),
+    )
