@@ -1,0 +1,66 @@
+"""Runnable demo: the training-data dedup / similarity pipeline.
+
+Builds a duplicate-injected corpus from the sf0.001 documents table and
+runs the full near-dedup chain — exact dedup, MinHash+LSH candidates,
+exact-jaccard rescore, kill-list anti-join — plus an ANN probe over the
+embeddings table.  Mirrors `doc_near_dedup_corpus` /
+`emb_cosine_topk` from the driver contract.
+
+    python examples/dedup_corpus_demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vector_spark import get_spark  # noqa: E402
+from vector_spark.datapipe.dedup import (  # noqa: E402
+    exact_dedup,
+    jaccard_pairs,
+    lsh_bucket_stats,
+    lsh_candidates,
+    minhash_signatures,
+)
+from vector_spark.datapipe.similarity import cosine_topk  # noqa: E402
+from vector_spark.queries_datapipe import _dup_df  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("dedup_demo", shuffle_partitions=8)
+
+    dup = _dup_df(spark, sf_dir)
+    n0 = dup.count()
+    print(f"corpus with injected duplicates: {n0} docs")
+
+    n_exact = exact_dedup(dup).count()
+    print(f"after exact dedup:               {n_exact} docs "
+          f"({n0 - n_exact} exact clones removed)")
+
+    sigs = minhash_signatures(dup)
+    stats = lsh_bucket_stats(sigs).first()
+    print(f"LSH buckets: {stats['n_buckets']}, oversized (capped): "
+          f"{stats['n_oversized']}, rows in oversized: "
+          f"{stats['rows_in_oversized']}")
+
+    pairs = jaccard_pairs(dup, lsh_candidates(sigs), threshold=0.8)
+    kill = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = dup.join(kill, "doc_id", "left_anti")
+    print(f"after near-dedup (jaccard>=0.8): {survivors.count()} docs")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    probe = emb.limit(3)
+    print("cosine top-3 neighbours for 3 probe vectors:")
+    cosine_topk(emb, probe, k=3).show(truncate=False)
+
+
+if __name__ == "__main__":
+    main()
