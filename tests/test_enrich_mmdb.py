@@ -111,6 +111,14 @@ def write_mmdb(path: str, networks: dict[str, dict], record_size: int = 32):
         left, right = record(n.left), record(n.right)
         if record_size == 32:
             tree += left.to_bytes(4, "big") + right.to_bytes(4, "big")
+        elif record_size == 28:
+            # spec layout: left low 3 bytes, then one byte holding
+            # (left high nibble << 4) | right high nibble, then right
+            # low 3 bytes
+            assert left < (1 << 28) and right < (1 << 28)
+            tree += (left & 0xFFFFFF).to_bytes(3, "big")
+            tree += bytes([((left >> 24) << 4) | (right >> 24)])
+            tree += (right & 0xFFFFFF).to_bytes(3, "big")
         elif record_size == 24:
             assert left < (1 << 24) and right < (1 << 24)
             tree += left.to_bytes(3, "big") + right.to_bytes(3, "big")
@@ -148,7 +156,7 @@ NETWORKS = {
 }
 
 
-@pytest.fixture(params=[32, 24], ids=["rs32", "rs24"])
+@pytest.fixture(params=[32, 28, 24], ids=["rs32", "rs28", "rs24"])
 def mmdb_path(request, tmp_path):
     p = str(tmp_path / "test.mmdb")
     write_mmdb(p, NETWORKS, record_size=request.param)
