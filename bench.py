@@ -171,6 +171,28 @@ def main() -> None:
     )
     bench("minhash_signatures", lambda: minhash_signatures(docs).count())
     bench("simhash", lambda: simhash(docs).count())
+
+    # the full near-dedup chain over the documents corpus: minhash →
+    # LSH candidates (bucket-capped) → exact-jaccard rescore (shingle
+    # df-capped) → kill-list anti-join.  NOT run on transcript turns:
+    # templated log text makes nearly every turn a near-dup of
+    # thousands of others, so the honest corpus is the documents table
+    # (measured: the un-capped turn-corpus rescore spilled >78 GB).
+    def _near_dedup() -> None:
+        from vector_spark.datapipe.dedup import jaccard_pairs, lsh_candidates
+
+        corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        sigs = minhash_signatures(corpus)
+        pairs = jaccard_pairs(
+            corpus, lsh_candidates(sigs), threshold=0.8,
+            max_shingle_df=1000,
+        )
+        kill = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        corpus.join(kill, "doc_id", "left_anti").count()
+
+    bench("near_dedup_chain", _near_dedup)
     bench(
         "text_analysis",
         lambda: analyze_documents(transcripts)

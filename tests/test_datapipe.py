@@ -76,6 +76,30 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     )
 
 
+def test_jaccard_shingle_df_cap_bounds_boilerplate(spark):
+    """A stop-phrase shingle shared by every doc makes the intersection
+    join quadratic; max_shingle_df must drop it while near-dups are
+    still found via their distinctive shingles."""
+    from vector_spark.datapipe.dedup import jaccard_pairs
+
+    boiler = "please see the attached log output for details"
+    rows = [(i, f"{boiler} unique document body number {i} alpha beta")
+            for i in range(50)]
+    rows += [(1000, rows[0][1]), (1001, rows[1][1])]  # true dups of 0, 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = jaccard_pairs(df, threshold=0.9, max_shingle_df=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (0, 1000) in got and (1, 1001) in got
+    # boilerplate-only overlap must not produce pairs
+    assert all(a in (0, 1) for a, _ in got)
+
+    # and the capped shingle volume is visibly bounded: every pair's
+    # intersection came from the distinctive shingles only
+    uncapped = jaccard_pairs(df, threshold=0.9)
+    assert {(r["id_a"], r["id_b"]) for r in uncapped.collect()} >= got
+
+
 def test_simhash_plan_has_no_bit_explosion(spark):
     """The de-exploded simhash: the 32 bit-votes are conditional sums
     inside one groupBy — the plan must not explode sequence(0,31) (the

@@ -224,6 +224,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.0,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs.
 
@@ -235,8 +236,26 @@ def jaccard_pairs(
     bounded by what LSH admitted, not the whole corpus).  Without
     candidates, all pairs sharing >= 1 shingle are scored (quadratic in
     shingle-collision volume — small corpora / testing only).
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    candidate docs BEFORE the intersection join.  This is the second
+    quadratic guard after the LSH bucket cap: on templated text (log
+    lines, boilerplate) a stop-phrase shingle shared by K candidate
+    docs contributes K² collision rows — measured on the 600k-turn
+    transcript corpus, the un-capped join spilled >78 GB of shuffle.
+    Dropping a shingle from BOTH docs' sets changes their jaccard
+    slightly (it removes a shared element), so the default is None
+    (exact semantics, matches the DuckDB oracles); set it for corpora
+    with heavy boilerplate.
     """
     sh = shingle_hashes(df, text_col, n).select(id_col, "h").distinct()
+    if max_shingle_df is not None:
+        wdf = W.partitionBy("h")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
     if candidates is not None:
         cand_ids = (
             candidates.select(F.col("id_a").alias(id_col))
