@@ -97,22 +97,19 @@ def hyperplane_lsh_buckets(
     Output has one row per (vector, table): bucket = table-prefixed
     sign-bit key.  With n_tables=1 this is plain single-probe LSH.
     """
-    rows = []
+    # all table keys in ONE projection + explode — a union of
+    # per-table branches would re-evaluate the upstream frame (scan +
+    # any augmentation) once per table (Catalyst does not share
+    # subtrees across union branches)
+    keys = []
     for t in range(n_tables):
         key = F.lit(0).cast("long")
         for p in range(n_planes):
             plane = F.array(*[F.lit(x) for x in _plane(t * 1000 + p, dim)])
             d = _dot(F.col(vec_col), plane)
             key = key + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(0)
-        rows.append(
-            vectors.withColumn(
-                bucket_col, F.concat_ws(":", F.lit(str(t)), key.cast("string"))
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+        keys.append(F.concat_ws(":", F.lit(str(t)), key.cast("string")))
+    return vectors.withColumn(bucket_col, F.explode(F.array(*keys)))
 
 
 def near_dup_pairs(
