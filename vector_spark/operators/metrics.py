@@ -59,7 +59,11 @@ def log_to_metric(
             "ts": F.col(ts_col),
         }
         return df.select(*[c.alias(n) for n, c in cols.items()])
-    outs = []
+    # ONE pass: an array of per-rule metric structs (null when the
+    # rule's field is null) + explode — a union of per-rule branches
+    # would re-evaluate the upstream frame once per rule (Catalyst does
+    # not share subtrees across union branches)
+    metric_structs = []
     for r in rules:
         field = r.get("field")
         value = (
@@ -70,7 +74,7 @@ def log_to_metric(
             F.array(*[F.lit(k) for k in tags]),
             F.array(*[F.col(v).cast("string") for v in tags.values()]),
         ) if tags else F.create_map().cast("map<string,string>")
-        proj = df.select(
+        s = F.struct(
             F.lit(r["name"]).alias("name"),
             F.lit(r.get("namespace", "ns")).alias("namespace"),
             tag_col.alias("tags"),
@@ -81,12 +85,11 @@ def log_to_metric(
             F.col(ts_col).alias("ts"),
         )
         if field is not None:
-            proj = proj.filter(F.col("value").isNotNull())
-        outs.append(proj)
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+            s = F.when(value.isNotNull(), s)
+        metric_structs.append(s)
+    return df.select(
+        F.explode(F.array_compact(F.array(*metric_structs))).alias("_m")
+    ).select("_m.*")
 
 
 def metric_to_log(df: DataFrame) -> DataFrame:
