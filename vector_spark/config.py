@@ -227,8 +227,11 @@ def _build_transform(
     if typ == "filter":
         return filter_events(inp, cfg["condition"])
     if typ == "route":
+        # cache the shared upstream when several ports will each
+        # trigger their own sink action (run_topology writes per port)
         out = route(inp, cfg["routes"],
-                    reroute_unmatched=cfg.get("reroute_unmatched", True))
+                    reroute_unmatched=cfg.get("reroute_unmatched", True),
+                    cache=cfg.get("cache", len(cfg["routes"]) > 1))
         return out
     if typ == "exclusive_route":
         return exclusive_route(inp, [tuple(r) for r in cfg["routes"]])

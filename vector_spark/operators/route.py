@@ -35,6 +35,8 @@ def route(
     df: DataFrame,
     routes: dict[str, Column | str | bool],
     reroute_unmatched: bool = True,
+    *,
+    cache: bool = False,
 ) -> dict[str, DataFrame]:
     """Non-exclusive fan-out: ``{port: filtered_view}``.
 
@@ -42,9 +44,18 @@ def route(
     multiplicity across ports).  ``_unmatched`` receives rows matching
     no port when ``reroute_unmatched`` (default true, mirroring
     route.rs).
+
+    ``cache=True`` persists the input (MEMORY_AND_DISK) so that writing
+    every port does not re-evaluate the upstream DAG once per sink —
+    use it when each port triggers its own action (the config
+    run_topology path does); when all sinks share one schema, the
+    single-pass :func:`route_tag_column` + explode encoding avoids the
+    multi-action shape entirely.
     """
     if UNMATCHED in routes:
         raise ValueError(f"{UNMATCHED!r} is a reserved port name")
+    if cache:
+        df = df.persist()
     conds = {name: to_condition(c) for name, c in routes.items()}
     out = {name: df.filter(c) for name, c in conds.items()}
     if reroute_unmatched:
