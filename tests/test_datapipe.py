@@ -297,3 +297,86 @@ def test_media_features_feed_similarity_search(spark):
     rows = topk.collect()
     assert len(rows) == 9  # 3 queries x top-3
     assert all(r["cos"] is not None for r in rows)
+
+
+def test_repetition_metrics_known_values(spark):
+    """Hand-computed Gopher repetition fractions on tiny docs."""
+    from vector_spark.datapipe.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b]
+            # top gram "b a" (ties 2 vs 3? counts: "a b"x3, "b a"x2)
+            # top = "a b" (cnt 3, len 3) / total chars 15 = 0.6
+            (1, "a b a b a b"),
+            # no repeated 5-gram, 7 words -> three 5-grams all distinct
+            (2, "one two three four five six seven"),
+            # doc shorter than both gram widths -> (0, 0)
+            (3, "x"),
+            # duplicated 5-gram: the 5-gram window repeats exactly
+            (4, "p q r s t p q r s t p q r s t"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in repetition_metrics(df, top_n=2, dup_n=5).collect()
+    }
+    assert abs(got[1]["top2gram_char_frac"] - 0.6) < 1e-9
+    assert got[2]["dup5gram_char_frac"] == 0.0
+    assert got[3]["top2gram_char_frac"] == 0.0
+    assert got[3]["dup5gram_char_frac"] == 0.0
+    # doc 4: 15 words -> 11 five-grams; "p q r s t" appears 3x (len 9),
+    # windows like "q r s t p" appear 2x ... every 5-gram window repeats
+    # except none are unique: positions 0,5,10 are "p q r s t"; the
+    # cyclic pattern makes all 11 windows part of a repeating set except
+    # the count math: windows 0..10 over period-5 cycle -> window i and
+    # i+5 are equal, so counts: i=0..4 -> 3,2,2,2,2 occurrences? compute:
+    # distinct windows are the 5 rotations; occurrences 3+2+2+2+2=11.
+    # all have cnt>1 -> dup fraction 1.0
+    assert abs(got[4]["dup5gram_char_frac"] - 1.0) < 1e-9
+
+
+def test_line_repetition_metrics_multiline(spark):
+    """Duplicate-line fractions over multi-line docs (log payloads)."""
+    from vector_spark.datapipe.text import line_repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha\ngamma"),  # 4 lines, 1 repeat
+            (2, "single line only"),
+            (3, "x\nx\nx\nx"),  # all repeats of the first
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in line_repetition_metrics(df).collect()
+    }
+    assert abs(got[1]["dup_line_frac"] - 0.25) < 1e-9
+    # repeated chars: one extra "alpha" (5 chars) / 19 total line chars
+    assert abs(got[1]["dup_line_char_frac"] - round(5 / 19, 6)) < 1e-9
+    assert got[2]["dup_line_frac"] == 0.0
+    assert abs(got[3]["dup_line_frac"] - 0.75) < 1e-9
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each Gopher/C4 rule trips on its designed bad doc."""
+    from vector_spark.datapipe.text import gopher_quality_flags
+
+    good = "the quick brown fox jumps over the lazy dog and that " * 6
+    df = spark.createDataFrame(
+        [
+            (1, good),  # passes everything (60 words, stopwords, alpha)
+            (2, "too short"),  # words_ok fails
+            (3, good + " " + "# " * 20),  # symbol ratio + alpha fail
+            (4, good.replace("the", "xx») {").replace("and", "yy")),
+            (5, good + " lorem ipsum dolor"),  # no_lorem fails
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert got[1]["keep"]
+    assert not got[2]["words_ok"] and not got[2]["keep"]
+    assert not got[3]["symbol_ok"]
+    assert not got[4]["no_braces"]
+    assert not got[5]["no_lorem"]

@@ -91,3 +91,189 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(c),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher §A1.1-style): how much of a document is
+# repeated content.  n-gram metrics are explode + two groupBys keyed on
+# the doc id — linear in corpus size, map-side combine collapses the
+# per-partition counts, no Python anywhere.
+
+#: stop words for the Gopher "contains ≥2 stop words" rule
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _doc_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, gram) exploded word n-grams of the normalized text —
+    EMPTY for docs shorter than n words (cf. dedup._gram_index)."""
+    from vector_spark.datapipe.dedup import _gram_index
+
+    w = words(F.col(text_col))
+    grams = F.transform(
+        _gram_index(w, n),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Per-doc n-gram repetition metrics (the Gopher repetition rules):
+
+    - ``top{top_n}gram_char_frac``: characters of the single most
+      frequent ``top_n``-gram (count × gram length) over all n-gram
+      characters.  Tie-break: lexicographically greatest gram (a
+      max(struct) both engines order identically).
+    - ``dup{dup_n}gram_char_frac``: characters of ``dup_n``-grams
+      occurring more than once (count × length summed) over all
+      n-gram characters.
+
+    Docs with no n-grams (shorter than n words) score 0.0.  Output:
+    (id, top..., dup...) — one row per input doc."""
+    top = (
+        _doc_ngrams(df, text_col, id_col, top_n)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_top"),
+            F.sum(F.col("cnt") * F.length("gram")).alias("_chars"),
+        )
+        .select(
+            id_col,
+            F.round(
+                F.col("_top.cnt")
+                * F.length(F.col("_top.gram"))
+                / F.col("_chars"),
+                6,
+            ).alias(f"top{top_n}gram_char_frac"),
+        )
+    )
+    dup = (
+        _doc_ngrams(df, text_col, id_col, dup_n)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram"))
+                .otherwise(0)
+            ).alias("_dupc"),
+            F.sum(F.col("cnt") * F.length("gram")).alias("_chars"),
+        )
+        .select(
+            id_col,
+            F.round(F.col("_dupc") / F.col("_chars"), 6).alias(
+                f"dup{dup_n}gram_char_frac"
+            ),
+        )
+    )
+    out = (
+        df.select(id_col)
+        .join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .fillna(0.0)
+    )
+    return out
+
+
+def line_repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc duplicate-LINE metrics (Gopher): fraction of lines that
+    are repeats of an earlier identical line, and fraction of
+    characters inside those repeated occurrences.  Lines split on \\n;
+    a single-line doc scores (0.0, 0.0).  One explode + two groupBys
+    on the doc id."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    )
+    per_line = lines.groupBy(id_col, "line").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_line.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("_n"),
+            F.sum(F.col("cnt") - 1).alias("_ndup"),
+            F.sum(F.col("cnt") * F.length("line")).alias("_chars"),
+            F.sum((F.col("cnt") - 1) * F.length("line")).alias("_dchars"),
+        )
+        .select(
+            id_col,
+            F.round(F.col("_ndup") / F.col("_n"), 6).alias("dup_line_frac"),
+            F.round(
+                F.col("_dchars") / F.greatest(F.col("_chars"), F.lit(1)), 6
+            ).alias("dup_line_char_frac"),
+        )
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher rule-based quality flags + C4-style extras, all pure
+    Column expressions (one projection, no shuffle):
+
+    - ``words_ok``: word count in [min_words, max_words]
+    - ``wlen_ok``: mean word length in [min_mean_wlen, max_mean_wlen]
+    - ``symbol_ok``: (# + …/... occurrences) / words ≤ max_symbol_ratio
+    - ``alpha_ok``: fraction of words containing ≥1 alphabetic char
+      ≥ min_alpha_word_frac
+    - ``stop_ok``: ≥ min_stopwords hits from the Gopher stop-word set
+      (occurrence count, duplicates count)
+    - ``no_braces`` / ``no_lorem``: C4 code/boilerplate tripwires
+    - ``keep``: conjunction of all flags
+
+    Output: (id, n_words, mean_word_len, flags..., keep)."""
+    norm = normalize_text(F.col(text_col))
+    w = F.split(norm, " ")
+    n_words = F.size(w)
+    n1 = F.greatest(n_words, F.lit(1))
+    # normalized text is single-space-joined, so sum(word lengths) ==
+    # length(norm) - (n_words - 1) — no per-word fold needed
+    mean_wlen = F.round((F.length(norm) - n_words + 1) / n1, 6)
+    symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\.|…"), 0)
+    )
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS))
+    )
+    flags = {
+        "words_ok": (n_words >= min_words) & (n_words <= max_words),
+        "wlen_ok": (mean_wlen >= min_mean_wlen)
+        & (mean_wlen <= max_mean_wlen),
+        "symbol_ok": symbols / n1 <= max_symbol_ratio,
+        "alpha_ok": alpha_words / n1 >= min_alpha_word_frac,
+        "stop_ok": stop_hits >= min_stopwords,
+        "no_braces": ~F.col(text_col).contains("{"),
+        "no_lorem": ~F.lower(F.col(text_col)).contains("lorem ipsum"),
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )

@@ -26,7 +26,13 @@ from vector_spark.datapipe.dedup import (
     simhash,
 )
 from vector_spark.datapipe.similarity import ann_topk, cosine_topk
-from vector_spark.datapipe.text import LANG_MARKERS, TOKEN_PATTERN, analyze_documents
+from vector_spark.datapipe.text import (
+    LANG_MARKERS,
+    TOKEN_PATTERN,
+    analyze_documents,
+    gopher_quality_flags,
+    repetition_metrics,
+)
 from vector_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -453,3 +459,95 @@ def q_emb_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_surviving"),
         F.sum("vec_id").alias("survivors_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics + Gopher quality rules
+
+
+def _gram_cte(name: str, n: int) -> str:
+    """word n-gram explode + per-(doc, gram) counts, as two CTEs."""
+    words = ", ".join(f"ws[i + {j + 1}]" for j in range(n))
+    return f""",
+g{name} AS (
+  SELECT doc_id,
+         unnest(list_transform(range(greatest(len(ws) - {n - 1}, 0)),
+                i -> concat_ws(' ', {words}))) AS gram
+  FROM w
+),
+c{name} AS (SELECT doc_id, gram, count(*) AS cnt FROM g{name} GROUP BY 1, 2)"""
+
+
+@register(
+    "doc_repetition",
+    f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm)"""
+    + _gram_cte("2", 2)
+    + _gram_cte("5", 5)
+    + """,
+r2 AS (
+  SELECT doc_id, cnt * length(gram) AS topchars,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn,
+         sum(cnt * length(gram)) OVER (PARTITION BY doc_id) AS allchars
+  FROM c2
+),
+t2 AS (SELECT doc_id, round(topchars / allchars, 6) AS f2 FROM r2 WHERE rn = 1),
+t5 AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+               / sum(cnt * length(gram)), 6) AS f5
+  FROM c5 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(t2.f2, 0.0) AS top2gram_char_frac,
+       COALESCE(t5.f5, 0.0) AS dup5gram_char_frac
+FROM documents d LEFT JOIN t2 ON d.doc_id = t2.doc_id
+LEFT JOIN t5 ON d.doc_id = t5.doc_id""",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition rules: most-frequent-2-gram character
+    fraction + duplicated-5-gram character fraction, per document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_metrics(docs, top_n=2, dup_n=5)
+
+
+_GOPHER_STOP_SQL = ", ".join(
+    repr(s) for s in ["the", "be", "to", "of", "and", "that", "have", "with"]
+)
+
+@register(
+    "doc_gopher_quality",
+    f"""
+WITH norm AS (SELECT doc_id, text, {_NORM} AS t FROM documents),
+w AS (SELECT doc_id, text, t, string_split(t, ' ') AS ws FROM norm),
+m AS (
+  SELECT doc_id, text, len(ws) AS n_words, greatest(len(ws), 1) AS n1,
+         round((length(t) - len(ws) + 1) / greatest(len(ws), 1), 6) AS mean_word_len,
+         len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym,
+         len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_filter(ws, x -> x IN ({_GOPHER_STOP_SQL}))) AS n_stop
+  FROM w
+),
+flags AS (
+  SELECT doc_id, n_words, mean_word_len,
+         (n_words >= 50 AND n_words <= 100000) AS words_ok,
+         (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS wlen_ok,
+         (n_sym / n1 <= 0.1) AS symbol_ok,
+         (n_alpha / n1 >= 0.8) AS alpha_ok,
+         (n_stop >= 2) AS stop_ok,
+         (NOT contains(text, '{{')) AS no_braces,
+         (NOT contains(lower(text), 'lorem ipsum')) AS no_lorem
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, words_ok, wlen_ok, symbol_ok,
+       alpha_ok, stop_ok, no_braces, no_lorem,
+       (words_ok AND wlen_ok AND symbol_ok AND alpha_ok AND stop_ok
+        AND no_braces AND no_lorem) AS keep
+FROM flags""",
+)
+def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality flags (+ C4 brace/lorem tripwires)
+    per document — the pre-model filter pass of a training pipeline."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_quality_flags(docs)
