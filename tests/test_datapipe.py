@@ -109,8 +109,14 @@ def test_simhash_plan_has_no_bit_explosion(spark):
     assert "sequence(0, 31" not in plan
     # exactly one Generate: the shingle explode (by design)
     assert plan.count("Generate explode") == 1
-    # and exactly one shuffle: the groupBy(doc_id) collect_set
-    assert plan.count("Exchange hashpartitioning") == 1
+    # two shuffles: the (doc, h) distinct and the groupBy(doc) vote
+    # sums — the second moves only 32 partial sums per doc-partition;
+    # no third exchange may appear
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the vote aggregation itself must stay in whole-stage codegen
+    # (the collect_set + higher-order-filter variant fell back to
+    # interpreted evaluation and measured ~11% slower)
+    assert "collect_set" not in plan
 
 
 def test_short_and_empty_docs_do_not_crash_shingling(spark):

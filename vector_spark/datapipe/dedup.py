@@ -307,28 +307,32 @@ def simhash(
     """SimHash fingerprint (32 bits) per doc: per-bit majority vote over
     the doc's DISTINCT shingle hashes.
 
-    ONE shuffle: groupBy(doc).collect_set(h) (map-side partial sets),
-    then the 32 bit votes are higher-order array expressions over the
-    per-doc set — bit b is set when more than half the shingles have
-    bit b set (vote sum +1/-1 > 0 ⇔ 2·count_set > n).  The previous
-    variant exploded sequence(0,31) (32× row blowup, two groupBys);
-    this is no row multiplication, no Python, no UDF."""
-    hashed = shingle_hashes(df, text_col, n).select(id_col, "h")
-    sets = hashed.groupBy(id_col).agg(F.collect_set("h").alias("_hs"))
-    n_sh = F.size(F.col("_hs"))
+    Shape: distinct (doc, h) pairs, then ONE groupBy(doc) with 32
+    conditional ±1 sums — bit b is set when the vote sum is positive.
+    No row multiplication (the previous form exploded sequence(0,31),
+    32× rows), no Python, and every expression stays inside
+    whole-stage codegen.  Two exchanges, but the second moves only 32
+    partial sums per (doc × upstream partition) — negligible after
+    map-side combine; the collect_set one-exchange variant was
+    MEASURED ~11% slower end-to-end because its 32 per-bit array
+    scans run interpreted (higher-order functions are CodegenFallback)."""
+    hashed = shingle_hashes(df, text_col, n).select(id_col, "h").distinct()
 
     def bit_is_set(b: int):
-        # factory closure: a default-arg lambda would read as a
-        # two-arg (value, index) higher-order function to PySpark
-        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+        return F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1
 
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(bit_is_set(b), 1).otherwise(-1)).alias(f"_v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
     fingerprint = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
-        count_set = F.size(F.filter(F.col("_hs"), bit_is_set(b)))
         fingerprint = fingerprint + F.when(
-            count_set * 2 > n_sh, F.lit(1 << b).cast("long")
+            F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return sets.select(id_col, fingerprint.alias("simhash"))
+    return votes.select(id_col, fingerprint.alias("simhash"))
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
