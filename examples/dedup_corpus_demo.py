@@ -53,6 +53,32 @@ def main() -> None:
     survivors = dup.join(kill, "doc_id", "left_anti")
     print(f"after near-dedup (jaccard>=0.8): {survivors.count()} docs")
 
+    # quality gate: Gopher rules + repetition metrics
+    from vector_spark.datapipe.text import (
+        gopher_quality_flags,
+        repetition_metrics,
+    )
+
+    flags = gopher_quality_flags(survivors)
+    kept = flags.filter("keep").select("doc_id")
+    print(f"after Gopher quality rules:      {kept.count()} docs")
+    rep = repetition_metrics(survivors)
+    heavy = rep.filter("top2gram_char_frac > 0.2 OR dup5gram_char_frac > 0.5")
+    print(f"repetition-heavy docs flagged:   {heavy.count()}")
+
+    # benchmark decontamination: every 10th original doc stands in for
+    # the held-out eval set
+    from vector_spark.datapipe.dedup import decontaminate
+
+    bench = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    contaminated = decontaminate(survivors, bench, n=13)
+    print(f"benchmark-contaminated docs:     {contaminated.count()} "
+          "(dropped before training)")
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),

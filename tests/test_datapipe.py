@@ -386,3 +386,59 @@ def test_gopher_quality_flags_rules(spark):
     assert not got[3]["symbol_ok"]
     assert not got[4]["no_braces"]
     assert not got[5]["no_lorem"]
+
+
+def test_decontaminate_flags_exact_and_partial_overlap(spark):
+    """13-gram decontamination: exact copies and long shared spans are
+    flagged; disjoint docs are not; the corpus side is never shuffled
+    before the broadcast semi-join."""
+    from vector_spark.datapipe.dedup import decontaminate
+
+    span = " ".join(f"w{i}" for i in range(20))  # 20 words -> 8 13-grams
+    corpus = spark.createDataFrame(
+        [
+            (1, span),  # exact copy of benchmark doc
+            (2, span + " tail extra words here"),  # superset: all 8 + more
+            (3, "completely different text " * 5),
+            (4, "short doc"),  # < 13 words: zero grams
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([(100, span)], "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in decontaminate(corpus, bench, n=13).collect()
+    }
+    assert got[1] == 8  # 20 - 13 + 1
+    assert got[2] == 8  # the shared span's grams only
+    assert 3 not in got and 4 not in got
+
+    # plan: benchmark side broadcast, corpus side has no Exchange
+    # before the semi-join
+    plan = (
+        decontaminate(corpus, bench, n=13)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_dedup_lines_global_first_wins_and_reassembles(spark):
+    """Corpus-global line dedup: first (doc, pos) occurrence survives,
+    docs reassemble in original order, fully-claimed docs come back
+    empty."""
+    from vector_spark.datapipe.dedup import dedup_lines_global
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta"),        # "beta" claimed by doc 1
+            (3, "alpha\nbeta\ngamma"),  # fully claimed -> empty
+            (4, "epsilon\nepsilon"),    # in-doc dup: second goes too
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in dedup_lines_global(df).collect()}
+    assert got[1] == "alpha\nbeta\ngamma"
+    assert got[2] == "delta"
+    assert got[3] == ""
+    assert got[4] == "epsilon"

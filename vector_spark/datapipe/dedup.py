@@ -338,3 +338,82 @@ def simhash(
 def hamming_distance(a: Column, b: Column) -> Column:
     """bit_count(a XOR b) — near-dup test over simhash fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-GLOBAL line dedup (the C4-style pass): every distinct
+    line survives exactly once across the whole corpus — its first
+    occurrence in (id, line position) order — and each document is
+    reassembled from its surviving lines in original order.  Documents
+    whose lines were all claimed elsewhere come back with empty text.
+
+    Scale shape: posexplode (narrow) → one shuffle keyed on the line
+    (window row_number; first-wins is deterministic) → one shuffle
+    back on the doc id to reassemble (sort_array over (pos, line)
+    structs keeps original order without a per-doc sort pass).
+    Both aggregations combine map-side; no Python anywhere."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    )
+    w = W.partitionBy("_line").orderBy(id_col, "_pos")
+    kept = (
+        lines.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("_pos", "_line"))
+                ),
+                lambda s: s["_line"],
+            ),
+        ).alias(text_col)
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .fillna({text_col: ""})
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥
+    ``min_overlap`` distinct word ``n``-grams with ANY benchmark doc
+    (the GPT-3-style 13-gram rule).
+
+    Scale shape: the benchmark's distinct shingle-hash set is tiny
+    (eval suites are ~10⁴-10⁶ grams) → broadcast semi-join against the
+    corpus shingle stream, then one groupBy(doc) count.  The corpus —
+    the 100 TB side — is never shuffled on text, only its matching
+    shingle rows reach the aggregation.
+
+    Returns (id, n_contaminated_grams) for flagged docs only; anti-join
+    the result against the corpus to drop them."""
+    corp = shingle_hashes(corpus, text_col, n).select(id_col, "h")
+    bench = shingle_hashes(benchmark, text_col, n).select("h").distinct()
+    # broadcast semi-join BEFORE any corpus-side distinct: the narrow
+    # filter drops everything but matching grams, so the only shuffle
+    # (the per-doc distinct count) moves matches, not the corpus
+    hits = corp.join(F.broadcast(bench), "h", "left_semi")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count_distinct("h").alias("n_contaminated_grams"))
+        .filter(F.col("n_contaminated_grams") >= min_overlap)
+    )

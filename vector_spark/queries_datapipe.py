@@ -551,3 +551,140 @@ def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document — the pre-model filter pass of a training pipeline."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return gopher_quality_flags(docs)
+
+
+# ---------------------------------------------------------------------------
+# corpus-global line dedup (C4-style pass)
+
+_LINE_COLS = ", ".join(f"ws[8 * i + {j + 1}]" for j in range(8))
+
+
+@register(
+    "doc_line_dedup_global",
+    _DUP_CTE
+    + f""",
+norm AS (SELECT doc_id, {_NORM} AS t FROM dup),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+ml AS (
+  SELECT doc_id,
+         list_transform(range((len(ws) + 7) // 8),
+                        i -> concat_ws(' ', {_LINE_COLS})) AS ls
+  FROM w
+),
+lines AS (
+  SELECT doc_id, unnest(range(len(ls))) AS pos, unnest(ls) AS line FROM ml
+),
+rn AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines
+),
+kept AS (SELECT doc_id, pos, line FROM rn WHERE rn = 1),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(reb.text, '') AS text
+FROM dup d LEFT JOIN reb ON d.doc_id = reb.doc_id""",
+)
+def q_doc_line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-global line dedup: the dup-injected corpus is
+    re-chunked into 8-word lines (deterministic in both engines), then
+    every distinct line survives only at its first (doc, position)
+    occurrence and docs are reassembled.  Exact clones collapse to
+    empty text; perturbed clones keep only their perturbed tail line."""
+    from vector_spark.datapipe.dedup import dedup_lines_global, normalize_text
+
+    dup = _dup_df(spark, sf_dir)
+    w = F.split(normalize_text(F.col("text")), " ")
+    chunks = F.sequence(
+        F.lit(0).cast("bigint"), F.floor((F.size(w) - 1) / 8)
+    )
+    ml = dup.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                chunks,
+                lambda i: F.concat_ws(" ", F.slice(w, i * 8 + 1, 8)),
+            ),
+        ).alias("text"),
+    )
+    return dedup_lines_global(ml)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination + corpus stats
+
+
+def _grams_sql(n: int, src: str) -> str:
+    """unnest'ed word n-grams over a CTE exposing (…, ws)."""
+    cols = ", ".join(f"ws[i + {j + 1}]" for j in range(n))
+    return (
+        f"SELECT *, unnest(list_transform(range(greatest(len(ws) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', {cols}))) AS gram FROM {src}"
+    )
+
+
+@register(
+    "doc_decontamination",
+    _DUP_CTE
+    + f""",
+norm AS (SELECT doc_id, {_NORM} AS t FROM dup),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+g13 AS ({_grams_sql(13, 'w')}),
+sh13 AS (SELECT DISTINCT doc_id, {_H60.format(e='gram')} % {HASH_MOD} AS h FROM g13),
+bnorm AS (SELECT {_NORM} AS t FROM documents WHERE doc_id % 10 = 0),
+bw AS (SELECT string_split(t, ' ') AS ws FROM bnorm),
+bg AS ({_grams_sql(13, 'bw')}),
+bh AS (SELECT DISTINCT {_H60.format(e='gram')} % {HASH_MOD} AS h FROM bg)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+FROM sh13 WHERE h IN (SELECT h FROM bh)
+GROUP BY doc_id""",
+)
+def q_doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark decontamination: flag corpus docs sharing
+    ≥1 distinct 13-gram with the held-out benchmark set (every 10th
+    original doc).  The dup-injected corpus guarantees non-trivial
+    hits: the benchmark docs themselves, their exact clones, and the
+    shared prefixes of perturbed clones."""
+    from vector_spark.datapipe.dedup import decontaminate
+
+    corpus = _dup_df(spark, sf_dir)
+    bench = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    return decontaminate(corpus, bench, n=13)
+
+
+@register(
+    "doc_corpus_stats",
+    f"""
+SELECT {_langid_sql()} AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT) AS total_tokens,
+       round(avg(round((
+         CASE WHEN length(text) >= 20 AND length(text) <= 20000 THEN 1 ELSE 0 END +
+         CASE WHEN length(text) / greatest(len(string_split({_NORM}, ' ')), 1) >= 2.0
+               AND length(text) / greatest(len(string_split({_NORM}, ' ')), 1) <= 12.0
+              THEN 1 ELSE 0 END +
+         CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) <= 0.2
+              THEN 1 ELSE 0 END) / 3.0, 6)), 6) AS avg_quality
+FROM documents GROUP BY 1""",
+)
+def q_doc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix reporting: per-predicted-language doc and token
+    totals + mean quality — the rollup a data pipeline emits per
+    snapshot (one narrow pass + a tiny groupBy on language)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        analyze_documents(docs)
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )

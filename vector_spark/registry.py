@@ -40,22 +40,25 @@ _PRIORITY: list[str] = [
     # parse / order / enrich
     "parse_extract", "parse_dropped", "turns_stable_order",
     "enrich_lookup", "enrich_ip_ranges", "memory_enrich_ttl",
-    # route
-    "route_sink_errors", "route_sink_tools", "route_sink_slow",
-    "route_sink_assistant", "route_unmatched", "route_counts",
-    "exclusive_route_counts",
+    # route (sink_slow/sink_assistant demoted past 50 in the r3
+    # continuation: four per-sink variants were redundant next to the
+    # errors/tools sinks + unmatched + counts; the freed slots put the
+    # new training-data ops under the driver gate)
+    "route_sink_errors", "route_sink_tools", "route_unmatched",
+    "route_counts", "exclusive_route_counts",
     # aggregate / pipeline
     "aggregate_errors_1m", "aggregate_by_role_diff",
     "pipeline_stats", "pipeline_fused_agg",
-    # reduce / sessions
+    # reduce / sessions (ends_when variant demoted: three other
+    # reduce gates stay in-window)
     "reduce_conversations", "sessionize_counts", "reduce_sessions",
-    "reduce_ends_when",
     # conditions / remap / scale chain
     "datadog_search_counts", "datadog_tags_facets", "redact_pii",
     "remap_program", "scale_chain_rows", "multiline_records",
-    # per-operator semantics
+    # per-operator semantics (sample_group_consistent demoted:
+    # sample_mod_1in7 keeps the operator in-window)
     "dedupe_first_wins", "latest_status_by_service", "sample_mod_1in7",
-    "sample_group_consistent", "throttle_5_per_10m",
+    "throttle_5_per_10m",
     "context_window_errors", "log_to_metric_agg",
     "metric_to_log_roundtrip", "incremental_to_absolute",
     "tag_cardinality_limit_3", "ddsketch_quantiles",
@@ -66,6 +69,9 @@ _PRIORITY: list[str] = [
     "doc_near_dedup_corpus", "doc_simhash", "doc_text_analysis",
     "emb_cosine_topk", "emb_ann_topk", "emb_ivf_topk",
     "emb_near_dup_pairs",
+    # r3-continuation training-data ops (first-class per the brief)
+    "doc_repetition", "doc_gopher_quality", "doc_decontamination",
+    "doc_line_dedup_global",
 ]
 
 
