@@ -181,8 +181,15 @@ def main() -> None:
     def _near_dedup() -> None:
         from vector_spark.datapipe.dedup import jaccard_pairs, lsh_candidates
 
-        corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            "doc_id", "text"
+        # the sf0.1 documents table is ONE small parquet file → one
+        # input split → the whole CPU-heavy shingle chain would run on
+        # a single core.  Repartition to the core count, mirroring the
+        # many-split scan a real corpus gives for free (measured: warm
+        # chain 8.7 → 6.3 s)
+        corpus = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .repartition(cpus)
         )
         sigs = minhash_signatures(corpus)
         pairs = jaccard_pairs(

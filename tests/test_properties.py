@@ -305,3 +305,71 @@ def test_grok_combined_apache_roundtrip(ip, user, verb, path, status, size, agen
     assert got["verb"] == verb and got["request"] == path
     assert got["response"] == str(status) and got["bytes"] == str(size)
     assert got["agent"] == f'"{agent}"'
+
+
+_doc_text = st.text(
+    alphabet=st.sampled_from(list("ab c\n")), min_size=0, max_size=60
+)
+
+
+@SET
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8))
+def test_dedup_lines_global_idempotent_and_conserving(spark, texts):
+    """Running corpus-global line dedup twice equals running it once,
+    and the multiset of surviving lines is exactly the set of distinct
+    input lines (nothing invented, nothing double-kept)."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.datapipe.dedup import dedup_lines_global
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    once = dedup_lines_global(df)
+    twice = dedup_lines_global(once)
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
+
+    kept_lines = [
+        l
+        for r in once.collect()
+        if r["text"] != ""
+        for l in r["text"].split("\n")
+    ]
+    distinct_input = {l for t in texts for l in t.split("\n")}
+    # "" survives only as a doc emptied entirely, never as a line of a
+    # non-empty doc UNLESS it was a real line among others
+    assert len(kept_lines) == len(set(kept_lines))
+    assert set(kept_lines) <= distinct_input
+
+
+@SET
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8))
+def test_repetition_fractions_bounded(spark, texts):
+    """Both repetition fractions live in [0, 1] for any input."""
+    from vector_spark.datapipe.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    for r in repetition_metrics(df, top_n=2, dup_n=3).collect():
+        assert 0.0 <= r["top2gram_char_frac"] <= 1.0
+        assert 0.0 <= r["dup3gram_char_frac"] <= 1.0
+
+
+def test_decontaminate_self_flags_all_long_docs(spark):
+    """Decontaminating a corpus against itself flags exactly the docs
+    that have at least one 13-gram (≥ 13 words)."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.datapipe.dedup import decontaminate
+    from vector_spark.datapipe.text import token_count
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    flagged = decontaminate(docs, docs, n=13).select("doc_id")
+    long_docs = docs.filter(token_count(F.col("text")) >= 13).select("doc_id")
+    assert flagged.exceptAll(long_docs).count() == 0
+    assert long_docs.exceptAll(flagged).count() == 0
