@@ -356,7 +356,11 @@ def dedup_lines_global(
     (window row_number; first-wins is deterministic) → one shuffle
     back on the doc id to reassemble (sort_array over (pos, line)
     structs keeps original order without a per-doc sort pass).
-    Both aggregations combine map-side; no Python anywhere."""
+    Both aggregations combine map-side; no Python anywhere.
+
+    ``sep`` is a Java regex (it feeds ``F.split``) and is also used
+    literally when reassembling — keep it to fixed single characters
+    like the default newline."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
