@@ -660,6 +660,44 @@ def q_doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_training_mix",
+    f"""
+WITH lang AS (
+  SELECT doc_id, {_langid_sql()} AS pred_lang FROM documents
+),
+rated AS (
+  SELECT doc_id, pred_lang,
+         CASE pred_lang WHEN 'en' THEN 1 WHEN 'und' THEN 5 ELSE 2 END AS rate
+  FROM lang
+)
+SELECT doc_id, pred_lang FROM rated
+WHERE {_H60.format(e='CAST(doc_id AS VARCHAR)')} % rate = 0""",
+)
+def q_doc_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: per-language hash-consistent
+    downsampling (keep all English, 1/2 of other identified
+    languages, 1/5 of unidentified) — the sample operator's
+    group-consistent decision composed with lang_id, fully
+    deterministic and engine-portable (same docs survive on every
+    run and engine)."""
+    from vector_spark.datapipe.dedup import portable_hash60
+    from vector_spark.datapipe.text import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lang = docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+    rate = (
+        F.when(F.col("pred_lang") == "en", 1)
+        .when(F.col("pred_lang") == "und", 5)
+        .otherwise(2)
+    )
+    keep = (
+        F.pmod(portable_hash60(F.col("doc_id").cast("string")), rate) == 0
+    )
+    return lang.filter(keep)
+
+
+
+@register(
     "doc_corpus_stats",
     f"""
 SELECT {_langid_sql()} AS pred_lang,
