@@ -2,7 +2,7 @@
 
 entry(spark) runs the flagship parse→enrich→route→aggregate pipeline on
 the sf0.001-scale transcripts table; queries()/oracle_sql() expose every
-implemented operator (74 queries, 72 with DuckDB oracles) in an explicit
+implemented operator (75 queries, 73 with DuckDB oracles) in an explicit
 priority order that keeps the unique-capability set — incl. the
 LLM-datapipe suite — inside the driver's 50-query verification window
 (vector_spark.registry._PRIORITY).

@@ -442,3 +442,29 @@ def test_dedup_lines_global_first_wins_and_reassembles(spark):
     assert got[2] == "delta"
     assert got[3] == ""
     assert got[4] == "epsilon"
+
+
+def test_dedup_lines_global_empty_line_idempotency(spark):
+    """Regression (r3 review): an emptied doc's '' text must not steal
+    genuine blank lines on a second pass — empty lines are kept
+    verbatim, so the op is idempotent on exactly the counterexample
+    that broke the window-based implementation."""
+    from vector_spark.datapipe.dedup import dedup_lines_global
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "\nb")], "doc_id int, text string"
+    )
+    once = dedup_lines_global(df)
+    twice = dedup_lines_global(once)
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
+    got = {r["doc_id"]: r["text"] for r in once.collect()}
+    assert got == {0: "a", 1: "", 2: "\nb"}
+
+    # scale gate: first-wins must be the map-side-combining min(struct)
+    # aggregate, not a per-line row_number window (a boilerplate line
+    # duplicated millions of times would route every occurrence to one
+    # reducer for a full sort)
+    plan = once._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "min(struct(" in plan

@@ -337,9 +337,11 @@ def test_dedup_lines_global_idempotent_and_conserving(spark, texts):
         for l in r["text"].split("\n")
     ]
     distinct_input = {l for t in texts for l in t.split("\n")}
-    # "" survives only as a doc emptied entirely, never as a line of a
-    # non-empty doc UNLESS it was a real line among others
-    assert len(kept_lines) == len(set(kept_lines))
+    # non-empty lines survive exactly once corpus-wide; empty lines
+    # are formatting and are kept verbatim (idempotency: an emptied
+    # doc's '' text must not steal blank lines on a second pass)
+    nonempty = [l for l in kept_lines if l != ""]
+    assert len(nonempty) == len(set(nonempty))
     assert set(kept_lines) <= distinct_input
 
 

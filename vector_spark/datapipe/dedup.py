@@ -112,8 +112,11 @@ def shingle_hash_array(text_col: str = "text", n: int = 3) -> Column:
 def shingle_hashes(
     df: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Distinct (doc, shingle_hash) pairs with the hash reduced mod
-    2^31-1 (so minhash multiplies stay in int64)."""
+    """(doc, shingle_hash) rows — the raw MULTISET, one row per gram
+    occurrence, hash reduced mod 2^31-1 (so minhash multiplies stay in
+    int64).  Callers needing set semantics dedupe themselves: minhash's
+    min() is duplicate-insensitive, simhash/jaccard apply .distinct(),
+    decontaminate counts distinct."""
     sh = shingles(df, text_col, n)
     return sh.withColumn(
         "h", portable_hash60(F.col("shingle")) % HASH_MOD
@@ -347,16 +350,23 @@ def dedup_lines_global(
     sep: str = "\n",
 ) -> DataFrame:
     """Corpus-GLOBAL line dedup (the C4-style pass): every distinct
-    line survives exactly once across the whole corpus — its first
-    occurrence in (id, line position) order — and each document is
-    reassembled from its surviving lines in original order.  Documents
-    whose lines were all claimed elsewhere come back with empty text.
+    non-empty line survives exactly once across the whole corpus — its
+    first occurrence in (id, line position) order — and each document
+    is reassembled from its surviving lines in original order.
+    Documents whose lines were all claimed elsewhere come back with
+    empty text.  EMPTY lines are kept verbatim (they are formatting,
+    not content, and deduping them would make the op non-idempotent:
+    an emptied doc's '' text re-enters as a '' line on a second pass
+    and would steal genuine blank lines from higher-id docs).
 
-    Scale shape: posexplode (narrow) → one shuffle keyed on the line
-    (window row_number; first-wins is deterministic) → one shuffle
-    back on the doc id to reassemble (sort_array over (pos, line)
-    structs keeps original order without a per-doc sort pass).
-    Both aggregations combine map-side; no Python anywhere.
+    Scale shape: posexplode (narrow) → first-wins via
+    groupBy(line).min(struct(id, pos)) — NOT a row_number window: the
+    min(struct) aggregate combines map-side, so a boilerplate line
+    duplicated millions of times (blank-ish headers, banners) reduces
+    per-partition instead of routing every occurrence to one reducer
+    for a full sort — → one shuffle back on the doc id to reassemble
+    (sort_array over (pos, line) structs keeps original order without
+    a per-doc sort pass).  No Python anywhere.
 
     ``sep`` is a Java regex (it feeds ``F.split``) and is also used
     literally when reassembling — keep it to fixed single characters
@@ -365,11 +375,18 @@ def dedup_lines_global(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
     )
-    w = W.partitionBy("_line").orderBy(id_col, "_pos")
-    kept = (
-        lines.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    winners = (
+        lines.filter(F.col("_line") != "")
+        .groupBy("_line")
+        .agg(F.min(F.struct(id_col, "_pos")).alias("_w"))
+        .select(
+            F.col(f"_w.{id_col}").alias(id_col),
+            F.col("_w._pos").alias("_pos"),
+            "_line",
+        )
+    )
+    kept = winners.unionByName(
+        lines.filter(F.col("_line") == "").select(id_col, "_pos", "_line")
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(

@@ -53,17 +53,24 @@ WITH dup AS (
   FROM documents WHERE doc_id % 7 = 0
 )"""
 
+def _grams_sql(n: int, src: str) -> str:
+    """The ONE word-n-gram unnest construction every oracle shares
+    (mirrors dedup._gram_index + shingles): selects ``src``'s columns
+    plus ``gram``; the greatest(...,0) clamp is the short-doc guard —
+    change it here and nowhere else."""
+    cols = ", ".join(f"ws[i + {j + 1}]" for j in range(n))
+    return (
+        f"SELECT *, unnest(list_transform(range(greatest(len(ws) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', {cols}))) AS gram FROM {src}"
+    )
+
+
 _SHINGLE_CTE = f""",
 norm AS (SELECT doc_id, {_NORM} AS t FROM dup),
 w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
-grams AS (
-  SELECT doc_id,
-         unnest(list_transform(range(greatest(len(ws) - 2, 0)),
-                i -> concat(ws[i + 1], ' ', ws[i + 2], ' ', ws[i + 3]))) AS shingle
-  FROM w
-),
+grams AS ({_grams_sql(3, 'w')}),
 sh AS (
-  SELECT DISTINCT doc_id, {_H60.format(e='shingle')} % {HASH_MOD} AS h FROM grams
+  SELECT DISTINCT doc_id, {_H60.format(e='gram')} % {HASH_MOD} AS h FROM grams
 )"""
 
 
@@ -466,15 +473,10 @@ def q_emb_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gram_cte(name: str, n: int) -> str:
-    """word n-gram explode + per-(doc, gram) counts, as two CTEs."""
-    words = ", ".join(f"ws[i + {j + 1}]" for j in range(n))
+    """word n-gram explode + per-(doc, gram) counts, as two CTEs
+    (built on the shared :func:`_grams_sql` construction)."""
     return f""",
-g{name} AS (
-  SELECT doc_id,
-         unnest(list_transform(range(greatest(len(ws) - {n - 1}, 0)),
-                i -> concat_ws(' ', {words}))) AS gram
-  FROM w
-),
+g{name} AS ({_grams_sql(n, 'w')}),
 c{name} AS (SELECT doc_id, gram, count(*) AS cnt FROM g{name} GROUP BY 1, 2)"""
 
 
@@ -512,9 +514,9 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(docs, top_n=2, dup_n=5)
 
 
-_GOPHER_STOP_SQL = ", ".join(
-    repr(s) for s in ["the", "be", "to", "of", "and", "that", "have", "with"]
-)
+from vector_spark.datapipe.text import GOPHER_STOPWORDS
+
+_GOPHER_STOP_SQL = ", ".join(repr(s) for s in GOPHER_STOPWORDS)
 
 @register(
     "doc_gopher_quality",
@@ -614,16 +616,8 @@ def q_doc_line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# benchmark decontamination + corpus stats
-
-
-def _grams_sql(n: int, src: str) -> str:
-    """unnest'ed word n-grams over a CTE exposing (…, ws)."""
-    cols = ", ".join(f"ws[i + {j + 1}]" for j in range(n))
-    return (
-        f"SELECT *, unnest(list_transform(range(greatest(len(ws) - {n - 1}, 0)),"
-        f" i -> concat_ws(' ', {cols}))) AS gram FROM {src}"
-    )
+# benchmark decontamination + corpus stats (n-grams via the shared
+# _grams_sql construction at the top of the module)
 
 
 @register(
