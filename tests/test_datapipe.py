@@ -501,3 +501,56 @@ def test_xxhash64_fast_path_finds_same_near_dups(spark):
     # collisions are probabilistic per hash); the disagreement must
     # stay marginal
     assert len(fast ^ exact) <= max(3, len(exact) // 20)
+
+
+def test_dedup_incremental_phases(spark):
+    """Snapshot-vs-corpus ingest dedup: exact clones die in phase 1
+    (hash anti-join), near clones die in phase 2 (LSH + jaccard
+    rescore), genuinely new docs survive; a precomputed corpus index
+    gives the identical answer (the incremental-ingest path)."""
+    from vector_spark.datapipe.dedup import build_dedup_index, dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "observability pipelines route parse and enrich log events at "
+                "scale across many regions with windowed aggregates and sinks"),
+            (3, "a completely different third document about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    snap = spark.createDataFrame(
+        [
+            # exact clone of 1 (whitespace/case-normalized)
+            (10, "The quick brown fox   jumps over the lazy dog near the river bank"),
+            # near clone of 2 (3-word tail appended)
+            (11, "observability pipelines route parse and enrich log events at "
+                 "scale across many regions with windowed aggregates and sinks "
+                 "zz perturbed tail"),
+            # genuinely new
+            (12, "entirely novel content discussing iceberg snapshot commit protocols today"),
+        ],
+        "doc_id long, text string",
+    )
+    ingested = {r["doc_id"] for r in dedup_incremental(snap, corpus).collect()}
+    assert ingested == {12}
+
+    # the persisted-index path (build once, reuse per snapshot) must
+    # produce the identical accepted set
+    idx = build_dedup_index(corpus)
+    via_index = {
+        r["doc_id"]
+        for r in dedup_incremental(snap, corpus, index=idx).collect()
+    }
+    assert via_index == ingested
+
+    # intra-snapshot duplicates are out of scope by contract: two novel
+    # docs identical to EACH OTHER but absent from the corpus both land
+    twins = spark.createDataFrame(
+        [
+            (20, "twin document text that is not in the corpus at all whatsoever"),
+            (21, "twin document text that is not in the corpus at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    assert dedup_incremental(twins, corpus).count() == 2

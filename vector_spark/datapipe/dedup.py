@@ -419,6 +419,163 @@ def dedup_lines_global(
     )
 
 
+def build_dedup_index(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    portable: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Reusable per-corpus dedup index: ``(exact_index, band_index)``.
+
+    - ``exact_index``: (corpus_id, text_h) — 60-bit normalized-text hash;
+    - ``band_index``: (corpus_id, band_key) — minhash LSH band keys.
+
+    The 100 TB ingest pattern: the index is computed ONCE over the
+    corpus and persisted (Iceberg/parquet, bucketed by text_h /
+    band_key so snapshot joins are co-located); every new snapshot is
+    deduped against the index tables — the corpus TEXT is never
+    re-read or re-shuffled per ingest.  After accepting a snapshot,
+    append its own index rows to keep the index current.
+    """
+    exact = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        portable_hash60(normalize_text(F.col(text_col))).alias("text_h"),
+    )
+    sigs = minhash_signatures(corpus, text_col, id_col, n, portable)
+    bands = _banded(sigs, id_col).select(
+        F.col(id_col).alias("corpus_id"), "band_key"
+    )
+    return exact, bands
+
+
+def cross_jaccard(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    candidates: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """Exact n-gram Jaccard for CROSS-SET candidate pairs
+    (new_id, corpus_id) — the rescore stage of incremental dedup.
+
+    Both shingle streams are semi-joined to their candidate id set
+    BEFORE the intersection join, so the rescore cost is bounded by
+    what LSH admitted — never snapshot × corpus.  On a real cluster
+    the corpus side of the semi-join prunes to candidate docs only
+    (an id-partitioned corpus table makes it a pruned read)."""
+    new_ids = candidates.select("new_id").distinct()
+    corp_ids = candidates.select("corpus_id").distinct()
+    new_sh = (
+        shingle_hashes(new_df, text_col, n, portable)
+        .select(F.col(id_col).alias("new_id"), "h")
+        .distinct()
+        .join(new_ids, "new_id", "left_semi")
+    )
+    corp_sh = (
+        shingle_hashes(corpus_df, text_col, n, portable)
+        .select(F.col(id_col).alias("corpus_id"), "h")
+        .distinct()
+        .join(corp_ids, "corpus_id", "left_semi")
+    )
+    sz_new = new_sh.groupBy("new_id").agg(F.count(F.lit(1)).alias("sz_n"))
+    sz_corp = corp_sh.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("sz_c"))
+    inter = (
+        new_sh.join(corp_sh, "h")
+        .join(candidates, ["new_id", "corpus_id"], "left_semi")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sz_new, "new_id")
+        .join(sz_corp, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_n") + F.col("sz_c") - F.col("inter")),
+                6,
+            ),
+        )
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    index: tuple[DataFrame, DataFrame] | None = None,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+    portable: bool = True,
+) -> DataFrame:
+    """Incremental snapshot-ingest dedup: the subset of ``new_df`` that
+    is neither an exact nor a near (jaccard ≥ ``threshold``) duplicate
+    of anything already in the corpus.
+
+    Phase 1 — exact: anti-join the snapshot's 60-bit normalized-text
+    hash against the corpus exact index (only the 8-byte hash column
+    of the corpus moves, never its text).
+    Phase 2 — near: minhash-band the phase-1 survivors, join their
+    band keys to the corpus band index (bucket-capped like
+    :func:`lsh_candidates`), rescore candidates with exact cross-set
+    jaccard, and drop snapshot docs at/above the threshold.
+
+    Intra-snapshot duplicates are deliberately NOT removed here — that
+    is the corpus-wide :func:`lsh_candidates`/:func:`jaccard_pairs`
+    pass's job; this operator answers "is it already in the corpus?".
+    Pass a persisted ``index`` (from :func:`build_dedup_index`) to skip
+    recomputing it per snapshot — the incremental point."""
+    if index is None:
+        index = build_dedup_index(
+            corpus_df, text_col=text_col, id_col=id_col, n=n, portable=portable
+        )
+    exact_idx, band_idx = index
+    th = portable_hash60(normalize_text(F.col(text_col)))
+    survivors = (
+        new_df.withColumn("_th", th)
+        .join(
+            exact_idx.select(F.col("text_h").alias("_th")).distinct(),
+            "_th",
+            "left_anti",
+        )
+        .drop("_th")
+    )
+    sigs = minhash_signatures(survivors, text_col, id_col, n, portable)
+    new_bands = _banded(sigs, id_col).select(
+        F.col(id_col).alias("new_id"), "band_key"
+    )
+    if max_bucket is not None:
+        w = W.partitionBy("band_key")
+        band_idx = (
+            band_idx.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    cand = (
+        new_bands.join(band_idx, "band_key")
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    scored = cross_jaccard(
+        survivors, corpus_df, cand,
+        text_col=text_col, id_col=id_col, n=n, portable=portable,
+    )
+    kill = (
+        scored.filter(F.col("jaccard") >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(kill, id_col, "left_anti")
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

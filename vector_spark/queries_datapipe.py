@@ -19,6 +19,7 @@ from vector_spark.datapipe.dedup import (
     MINHASH_COEFFS,
     MINHASH_P,
     SIMHASH_BITS,
+    dedup_incremental,
     exact_dedup,
     jaccard_pairs,
     lsh_candidates,
@@ -191,6 +192,133 @@ def q_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surviving.agg(
         F.count(F.lit(1)).alias("n_surviving"),
         F.sum("doc_id").alias("survivors_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup: snapshot vs corpus index
+
+
+def _incr_sql() -> str:
+    """Side-aware rendering of the exact + minhash-LSH + jaccard chain
+    for the snapshot-vs-corpus case (same constants as the Spark
+    implementation; 'c' = corpus, 'n' = phase-1 snapshot survivors)."""
+    aggs = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    rows = len(MINHASH_COEFFS) // LSH_BANDS
+    band_parts = []
+    for b in range(LSH_BANDS):
+        cols = ", ".join(f"mh{j}" for j in range(b * rows, (b + 1) * rows))
+        band_parts.append(
+            f"SELECT side, doc_id, concat_ws('_', '{b}', {cols}) AS band_key"
+            " FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_parts)
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+snap AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, concat(text, ' zz perturbed tail') AS text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         concat('fresh snapshot document number ', doc_id + 3000000,
+                ' with wholly original content') AS text
+  FROM documents WHERE doc_id % 13 = 0
+),
+ch AS (SELECT DISTINCT {_H60.format(e=_NORM)} AS text_h FROM corpus),
+s1 AS (
+  SELECT snap.doc_id, snap.text FROM snap
+  LEFT JOIN ch ON {_H60.format(e=_NORM)} = ch.text_h
+  WHERE ch.text_h IS NULL
+),
+all_docs AS (
+  SELECT 'c' AS side, doc_id, text FROM corpus
+  UNION ALL
+  SELECT 'n' AS side, doc_id, text FROM s1
+),
+norm AS (SELECT side, doc_id, {_NORM} AS t FROM all_docs),
+w AS (SELECT side, doc_id, string_split(t, ' ') AS ws FROM norm),
+grams AS ({_grams_sql(3, 'w')}),
+sh AS (
+  SELECT DISTINCT side, doc_id, {_H60.format(e='gram')} % {HASH_MOD} AS h
+  FROM grams
+),
+sigs AS (SELECT side, doc_id, {aggs} FROM sh GROUP BY side, doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+  FROM bands nb JOIN bands cb USING (band_key)
+  WHERE nb.side = 'n' AND cb.side = 'c'
+),
+sz AS (SELECT side, doc_id, count(*) AS sz FROM sh GROUP BY 1, 2),
+inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS i
+  FROM sh a JOIN sh b USING (h)
+  WHERE a.side = 'n' AND b.side = 'c'
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.new_id, round(i / (zn.sz + zc.sz - i), 6) AS jaccard
+  FROM cand c
+  JOIN inter USING (new_id, corpus_id)
+  JOIN sz zn ON zn.side = 'n' AND zn.doc_id = c.new_id
+  JOIN sz zc ON zc.side = 'c' AND zc.doc_id = c.corpus_id
+),
+kill AS (SELECT DISTINCT new_id FROM scored WHERE jaccard >= 0.8)
+SELECT CAST(count(*) AS BIGINT) AS n_ingested,
+       CAST(sum(s1.doc_id) AS BIGINT) AS ingested_checksum
+FROM s1 LEFT JOIN kill k ON s1.doc_id = k.new_id
+WHERE k.new_id IS NULL"""
+
+
+def _snapshot_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic ingest snapshot: exact clones of every 10th corpus doc,
+    near clones (perturbed tail) of every 7th, and genuinely new docs
+    for every 13th id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    exact = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz perturbed tail")))
+    )
+    fresh = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 3000000)
+        .withColumn(
+            "text",
+            F.concat(
+                F.lit("fresh snapshot document number "),
+                F.col("doc_id").cast("string"),
+                F.lit(" with wholly original content"),
+            ),
+        )
+    )
+    return exact.unionByName(near).unionByName(fresh)
+
+
+@register("doc_incremental_dedup", _incr_sql())
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-ingest dedup against the existing corpus: exact-hash
+    anti-join, then minhash-LSH candidates vs the corpus band index,
+    exact cross-set jaccard rescore ≥ 0.8 — one checksum row puts the
+    whole accepted-snapshot set under the hash gate."""
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    snap = _snapshot_df(spark, sf_dir)
+    ingested = dedup_incremental(snap, corpus, threshold=0.8)
+    return ingested.agg(
+        F.count(F.lit(1)).alias("n_ingested"),
+        F.sum("doc_id").alias("ingested_checksum"),
     )
 
 

@@ -44,7 +44,10 @@ _PRIORITY: list[str] = [
     # continuation: four per-sink variants were redundant next to the
     # errors/tools sinks + unmatched + counts; the freed slots put the
     # new training-data ops under the driver gate)
-    "route_sink_errors", "route_sink_tools", "route_unmatched",
+    # (route_sink_tools demoted with the other per-sink variants: the
+    # errors sink + unmatched + counts keep the operator in-window;
+    # its slot goes to doc_incremental_dedup)
+    "route_sink_errors", "route_unmatched",
     "route_counts", "exclusive_route_counts",
     # aggregate / pipeline
     "aggregate_errors_1m", "aggregate_by_role_diff",
@@ -66,7 +69,8 @@ _PRIORITY: list[str] = [
     "grok_apache_combined", "octet_framed_syslog",
     # LLM-datapipe suite (fell outside the r2 window; must be inside)
     "doc_exact_dedup", "doc_minhash_signatures", "doc_minhash_lsh_pairs",
-    "doc_near_dedup_corpus", "doc_simhash", "doc_text_analysis",
+    "doc_near_dedup_corpus", "doc_incremental_dedup", "doc_simhash",
+    "doc_text_analysis",
     "emb_cosine_topk", "emb_ann_topk", "emb_ivf_topk",
     "emb_near_dup_pairs",
     # r3-continuation training-data ops (first-class per the brief)
