@@ -119,6 +119,9 @@ TAG_CASES = [
     ("_missing_:env", (["other:x"], None), (["env:prod"], None)),
     ('tags:"env:prod"', (["env:prod"], None), (["env"], None)),
     ("tags:standalone", (["standalone"], None), (["standalone:x"], None)),
+    # literal tags facet takes wildcards like every other facet
+    ("tags:env*", (["env:prod"], None), (["other:x"], None)),
+    ('tags:*:prod', (["env:prod"], None), (["envprod"], None)),
     ("version:>1.5", (["version:2"], None), (["version:1"], None)),
     ("version:<=2", (["version:2"], None), (["version:3"], None)),
     # reserved source matches source OR ddsource columns, not tags
@@ -166,6 +169,30 @@ def test_tags_mode_multiple_tag_columns(spark):
         ).collect()
     )
     assert got == ["a", "b"]
+
+
+def test_source_facet_on_frame_missing_ddsource(spark):
+    """Frames commonly carry only one of source/ddsource; passing the
+    frame's column set makes the reserved source facet compile the
+    absent column to no-match instead of failing analysis."""
+    df = spark.createDataFrame(
+        [("m1", ["t"], "app"), ("m2", ["t"], "web")],
+        "message string, ddtags array<string>, source string",
+    )
+    cond = datadog_search(
+        "source:app", tags_cols=("ddtags",), columns=set(df.columns)
+    )
+    assert [r["message"] for r in df.filter(cond).collect()] == ["m1"]
+
+    # ddsource-only frame: same query, other column present
+    df2 = spark.createDataFrame(
+        [("m3", ["t"], "app")],
+        "message string, ddtags array<string>, ddsource string",
+    )
+    cond2 = datadog_search(
+        "source:app", tags_cols=("ddtags",), columns=set(df2.columns)
+    )
+    assert df2.filter(cond2).count() == 1
 
 
 def test_syntax_errors_raise():

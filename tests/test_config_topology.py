@@ -279,3 +279,27 @@ def test_geoip_enrichment_table_in_config(spark, tmp_path):
     out = build_topology(spark, cfg)["located"]
     got = {r["event"]: r["country_iso_code"] for r in out.collect()}
     assert got == {"e1": "AA", "e2": None}
+
+
+def test_length_delimited_file_source_in_config(spark, tmp_path):
+    """file source with framing: length_delimited — regression: the
+    frame explode was nested inside cast(), which the analyzer rejects
+    (UNSUPPORTED_GENERATOR.NESTED_IN_EXPRESSIONS), so this config path
+    crashed at plan time."""
+    src = tmp_path / "ld.bin"
+    msgs = ["alpha", "beta two", "gamma"]
+    with open(src, "wb") as f:
+        for m in msgs:
+            b = m.encode()
+            f.write(len(b).to_bytes(4, "big") + b)
+
+    cfg = {
+        "sources": {
+            "in": {
+                "type": "file", "path": str(src),
+                "framing": {"method": "length_delimited"},
+            }
+        }
+    }
+    out = build_topology(spark, cfg)["in"]
+    assert sorted(r["value"] for r in out.collect()) == sorted(msgs)

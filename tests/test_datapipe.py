@@ -544,6 +544,14 @@ def test_dedup_incremental_phases(spark):
     }
     assert via_index == ingested
 
+    # index-ONLY ingest — no corpus frame at all: the 3-table index
+    # (exact hash + bands + shingles) carries everything the rescore
+    # needs, so a snapshot ingest does ZERO corpus reads
+    no_corpus = {
+        r["doc_id"] for r in dedup_incremental(snap, index=idx).collect()
+    }
+    assert no_corpus == ingested
+
     # intra-snapshot duplicates are out of scope by contract: two novel
     # docs identical to EACH OTHER but absent from the corpus both land
     twins = spark.createDataFrame(

@@ -223,3 +223,34 @@ def test_range_table_feeds_enrich_ip_ranges(spark, mmdb_path):
     )
     got = {r["event"]: r["country_iso_code"] for r in out.collect()}
     assert got == {"e1": "AA", "e2": "BB", "e3": None, "e4": "CC"}
+
+
+def test_range_table_handles_hyphenated_locale_keys(spark, tmp_path):
+    """Real GeoLite2 records carry locale keys like names.zh-CN; the
+    range-table schema must accept them (a DDL string rejects hyphens
+    as unquoted identifiers).  Regression for the programmatic
+    StructType schema."""
+    p = str(tmp_path / "locale.mmdb")
+    write_mmdb(p, {
+        "10.0.0.0/8": {
+            "country": {"iso_code": "AA",
+                        "names": {"en": "Alpha", "zh-CN": "阿尔法",
+                                  "pt-BR": "Alfa"}},
+        },
+    })
+    tbl = mmdb_range_table(spark, p)
+    assert "country_names_zh-CN" in tbl.columns
+    [row] = tbl.collect()
+    assert row["country_names_zh-CN"] == "阿尔法"
+    assert row["country_names_pt-BR"] == "Alfa"
+
+
+def test_range_table_with_no_attribute_keys(spark, tmp_path):
+    """Records whose flattened attrs are empty (fields=[] selection)
+    must still yield a valid (ip_lo, ip_hi) frame, not a schema parse
+    error from a trailing comma."""
+    p = str(tmp_path / "bare.mmdb")
+    write_mmdb(p, {"10.0.0.0/8": {"country": {"iso_code": "AA"}}})
+    tbl = mmdb_range_table(spark, p, fields=[])
+    assert tbl.columns == ["ip_lo", "ip_hi"]
+    assert tbl.count() == 1

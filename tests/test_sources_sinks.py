@@ -449,3 +449,44 @@ def test_read_container_logs_end_to_end(spark, tmp_path):
     out = read_container_logs(spark, str(tmp_path)).collect()
     got = {(r["stream"], r["message"]) for r in out}
     assert got == {("stdout", "hello world"), ("stderr", "oops")}
+
+
+def test_gelf_high_chunk_counts(spark):
+    """seq/total are RAW BYTES up to 128 (GELF's max): 0x80 is invalid
+    standalone UTF-8, so a binary→string decode mangles it to U+FFFD
+    and silently drops the fully-received message.  Regression for the
+    numeric byte decode."""
+    from vector_spark.sources.readers import GELF_MAGIC, reassemble_gelf_chunks
+
+    total = 128
+    rows = [
+        (GELF_MAGIC + b"CCCCCCCC" + bytes([seq, total]) + b"x",)
+        for seq in range(total)
+    ]
+    df = spark.createDataFrame(rows, "payload binary")
+    got = [
+        bytes(r["message"]).decode()
+        for r in reassemble_gelf_chunks(df).collect()
+    ]
+    assert got == ["x" * total]
+
+
+def test_framing_discards_truncated_trailing_frame(spark):
+    """A payload ending mid-frame (declared length > remaining bytes)
+    must NOT emit the fragment as if it were complete — the reference
+    framer holds incomplete frames and errors at EOF."""
+    from vector_spark.sources.readers import (
+        length_delimited_frames,
+        octet_frames,
+    )
+
+    [r] = spark.createDataFrame(
+        [("5 hello100 trunca",)], "p string"
+    ).select(octet_frames(F.col("p")).alias("f")).collect()
+    assert r["f"] == ["hello"]
+
+    buf = (3).to_bytes(4, "big") + b"abc" + (100).to_bytes(4, "big") + b"def"
+    [r2] = spark.createDataFrame([(buf,)], "p binary").select(
+        length_delimited_frames(F.col("p")).alias("f")
+    ).collect()
+    assert [bytes(b) for b in r2["f"]] == [b"abc"]

@@ -294,6 +294,31 @@ def test_parse_ruby_hash(spark):
     assert v["hello"] == "world" and v["sym"] == 2 and v["n"] is None
 
 
+def test_parse_ruby_hash_rockets_inside_values(spark):
+    """The default engine is string-aware: '=>' / ':word =>' / 'nil'
+    INSIDE quoted values must survive untouched (the context-free
+    regex rewrite corrupted them), and single-quoted Ruby strings
+    parse."""
+    v = _one(spark, vrl.parse_ruby_hash(
+        F.lit('{ "msg" => "a :b => c", "note" => "x => y nil" }'),
+        "msg string, note string",
+    ))
+    assert v["msg"] == "a :b => c"
+    assert v["note"] == "x => y nil"
+
+    v2 = _one(spark, vrl.parse_ruby_hash(
+        F.lit("{ 'single' => 'it\\'s here', :sym => 'v' }"),
+        "single string, sym string",
+    ))
+    assert v2["single"] == "it's here" and v2["sym"] == "v"
+
+    # bare symbol VALUES become strings
+    v3 = _one(spark, vrl.parse_ruby_hash(
+        F.lit("{ :state => :active }"), "state string",
+    ))
+    assert v3["state"] == "active"
+
+
 def test_parse_etld(spark):
     assert _one(spark, vrl.parse_etld(F.lit("sub.example.co.uk"))) == "co.uk"
     assert _one(spark, vrl.parse_etld(F.lit("sub.example.co.uk"), plus_parts=1)) == "example.co.uk"

@@ -166,9 +166,25 @@ def datadog_search(
     default_field: str = "message",
     resolver=None,
     tags_cols: tuple[str, ...] | None = None,
+    columns: set[str] | frozenset[str] | None = None,
 ) -> Column:
-    """Compile a Datadog search query string to a boolean Column."""
-    resolve = resolver or (lambda name: F.col(name.lstrip("@")))
+    """Compile a Datadog search query string to a boolean Column.
+
+    ``columns``: pass the frame's column set (``set(df.columns)``) to
+    make facets on ABSENT columns compile to no-match (Datadog's
+    missing-attribute semantics) instead of failing analysis — e.g.
+    the reserved ``source:`` facet consults both source and ddsource,
+    and most frames carry only one of the two."""
+    if resolver is not None:
+        resolve = resolver
+    elif columns is not None:
+        resolve = lambda name: (  # noqa: E731
+            F.col(name.lstrip("@"))
+            if name.lstrip("@") in columns
+            else F.lit(None).cast("string")
+        )
+    else:
+        resolve = lambda name: F.col(name.lstrip("@"))  # noqa: E731
 
     def any_tag(pred) -> Column:
         cond = F.lit(False)
@@ -225,17 +241,27 @@ def datadog_search(
 
     def facet_match(field: str, raw: str) -> Column:
         if tags_cols is not None and field == "tags":
-            # literal tags facet: match a WHOLE element
-            value = _unescape(
-                raw[1:-1] if raw.startswith('"') and raw.endswith('"') else raw
-            )
+            # literal tags facet: match a WHOLE element; unquoted
+            # values take wildcards like every other facet
+            if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
+                value = _unescape(raw[1:-1])
+                return any_tag(lambda v: v == value)
+            if "*" in raw.replace("\\*", ""):
+                pattern = "^" + ".*".join(
+                    re.escape(_unescape(p))
+                    for p in re.split(r"(?<!\\)\*", raw)
+                ) + "$"
+                return any_tag(lambda v: v.rlike(pattern))
+            value = _unescape(raw)
             return any_tag(lambda v: v == value)
         if is_tag_facet(field):
             return tag_facet_match(field, raw)
         if tags_cols is not None and field == "source":
-            # reserved source matches source OR ddsource
-            a = _facet_on_col(F.col("source"), raw)
-            b = _facet_on_col(F.col("ddsource"), raw)
+            # reserved source matches source OR ddsource — through the
+            # resolver, so custom resolvers apply and (with `columns`)
+            # a frame carrying only one of the two still compiles
+            a = _facet_on_col(resolve("source"), raw)
+            b = _facet_on_col(resolve("ddsource"), raw)
             return a | b
         return _facet_on_col(resolve(field), raw)
 

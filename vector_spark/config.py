@@ -141,11 +141,14 @@ def _build_source(spark: SparkSession, cfg: dict) -> DataFrame:
                 )
 
                 whole = spark.read.format("binaryFile").load(cfg["path"])
+                # explode first, cast in a second projection — a
+                # generator nested inside cast() is rejected by the
+                # analyzer (UNSUPPORTED_GENERATOR.NESTED_IN_EXPRESSIONS)
                 return whole.select(
                     F.explode(
                         length_delimited_frames(F.col("content"), max_len)
-                    ).cast("string").alias("value")
-                )
+                    ).alias("_frame")
+                ).select(F.col("_frame").cast("string").alias("value"))
             if method == "chunked_gelf":
                 from vector_spark.sources.readers import (
                     reassemble_gelf_chunks,
@@ -200,7 +203,9 @@ def _build_enrichment_tables(spark: SparkSession, config: dict) -> dict:
 
 
 def _build_transform(
-    spark: SparkSession, cfg: dict, inp: DataFrame, tables: dict | None = None
+    spark: SparkSession, cfg: dict, inp: DataFrame,
+    tables: dict | None = None,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame | dict[str, DataFrame]:
     typ = cfg["type"]
     if typ == "remap":
@@ -228,10 +233,17 @@ def _build_transform(
         return filter_events(inp, cfg["condition"])
     if typ == "route":
         # cache the shared upstream when several ports will each
-        # trigger their own sink action (run_topology writes per port)
+        # trigger their own sink action (run_topology writes per port);
+        # persist HERE (not inside route()) so the topology runner can
+        # unpersist after the per-port actions — otherwise every
+        # topology run pins another MEMORY_AND_DISK copy for the
+        # session lifetime
+        if cfg.get("cache", len(cfg["routes"]) > 1):
+            inp = inp.persist()
+            if persisted is not None:
+                persisted.append(inp)
         out = route(inp, cfg["routes"],
-                    reroute_unmatched=cfg.get("reroute_unmatched", True),
-                    cache=cfg.get("cache", len(cfg["routes"]) > 1))
+                    reroute_unmatched=cfg.get("reroute_unmatched", True))
         return out
     if typ == "exclusive_route":
         return exclusive_route(inp, [tuple(r) for r in cfg["routes"]])
@@ -316,12 +328,15 @@ def _build_transform(
 
 
 def build_topology(
-    spark: SparkSession, config: dict
+    spark: SparkSession, config: dict,
+    persisted: list[DataFrame] | None = None,
 ) -> dict[str, DataFrame | dict[str, DataFrame]]:
     """Compile the config into lazy frames, keyed by component name.
 
     Multi-output transforms yield a dict of ports; their default port
-    is addressable by the bare name.
+    is addressable by the bare name.  ``persisted`` (optional out-list)
+    collects frames the compiler persisted so the runner can unpersist
+    them once the per-sink actions complete.
     """
     results: dict[str, Any] = {}
     tables = _build_enrichment_tables(spark, config)
@@ -341,7 +356,7 @@ def build_topology(
                 raise
             except ConfigError:
                 continue  # dependency not built yet
-            out = _build_transform(spark, cfg, inp, tables)
+            out = _build_transform(spark, cfg, inp, tables, persisted)
             if isinstance(out, dict) and "__default__" in out:
                 results[name] = out["__default__"]
                 for port, df in out.items():
@@ -368,17 +383,22 @@ def run_topology(spark: SparkSession, config: dict) -> dict[str, int]:
     (the per-sink count parity surface)."""
     from vector_spark.sources.sinks import blackhole, console, write_sink
 
-    results = build_topology(spark, config)
+    persisted: list[DataFrame] = []
+    results = build_topology(spark, config, persisted)
     counts: dict[str, int] = {}
-    for name, cfg in config.get("sinks", {}).items():
-        df = _union_inputs(results, cfg["inputs"])
-        typ = cfg["type"]
-        if typ == "blackhole":
-            counts[name] = blackhole(df)
-        elif typ == "console":
-            console(df, cfg.get("n", 20))
-            counts[name] = df.count()
-        else:
-            write_sink(df, cfg["path"], fmt=typ, mode=cfg.get("mode", "overwrite"))
-            counts[name] = spark.read.format(typ).load(cfg["path"]).count()
+    try:
+        for name, cfg in config.get("sinks", {}).items():
+            df = _union_inputs(results, cfg["inputs"])
+            typ = cfg["type"]
+            if typ == "blackhole":
+                counts[name] = blackhole(df)
+            elif typ == "console":
+                console(df, cfg.get("n", 20))
+                counts[name] = df.count()
+            else:
+                write_sink(df, cfg["path"], fmt=typ, mode=cfg.get("mode", "overwrite"))
+                counts[name] = spark.read.format(typ).load(cfg["path"]).count()
+    finally:
+        for df in persisted:
+            df.unpersist()
     return counts

@@ -426,18 +426,22 @@ def build_dedup_index(
     id_col: str = "doc_id",
     n: int = 3,
     portable: bool = True,
-) -> tuple[DataFrame, DataFrame]:
-    """Reusable per-corpus dedup index: ``(exact_index, band_index)``.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Reusable per-corpus dedup index:
+    ``(exact_index, band_index, shingle_index)``.
 
     - ``exact_index``: (corpus_id, text_h) — 60-bit normalized-text hash;
-    - ``band_index``: (corpus_id, band_key) — minhash LSH band keys.
+    - ``band_index``: (corpus_id, band_key) — minhash LSH band keys;
+    - ``shingle_index``: (corpus_id, h) — DISTINCT shingle hashes, the
+      rescore side of the jaccard check.
 
     The 100 TB ingest pattern: the index is computed ONCE over the
     corpus and persisted (Iceberg/parquet, bucketed by text_h /
-    band_key so snapshot joins are co-located); every new snapshot is
-    deduped against the index tables — the corpus TEXT is never
-    re-read or re-shuffled per ingest.  After accepting a snapshot,
-    append its own index rows to keep the index current.
+    band_key / corpus_id so snapshot joins are co-located); every new
+    snapshot is deduped against the index tables — the corpus TEXT is
+    never re-read or re-shuffled per ingest (the shingle index is what
+    makes the jaccard rescore corpus-scan-free).  After accepting a
+    snapshot, append its own index rows to keep the index current.
     """
     exact = corpus.select(
         F.col(id_col).alias("corpus_id"),
@@ -447,27 +451,35 @@ def build_dedup_index(
     bands = _banded(sigs, id_col).select(
         F.col(id_col).alias("corpus_id"), "band_key"
     )
-    return exact, bands
+    sh = (
+        shingle_hashes(corpus, text_col, n, portable)
+        .select(F.col(id_col).alias("corpus_id"), "h")
+        .distinct()
+    )
+    return exact, bands, sh
 
 
 def cross_jaccard(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None,
     candidates: DataFrame,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     portable: bool = True,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for CROSS-SET candidate pairs
     (new_id, corpus_id) — the rescore stage of incremental dedup.
 
     Both shingle streams are semi-joined to their candidate id set
     BEFORE the intersection join, so the rescore cost is bounded by
-    what LSH admitted — never snapshot × corpus.  On a real cluster
-    the corpus side of the semi-join prunes to candidate docs only
-    (an id-partitioned corpus table makes it a pruned read)."""
+    what LSH admitted — never snapshot × corpus.  Pass
+    ``corpus_shingles`` (the (corpus_id, h) shingle index from
+    :func:`build_dedup_index`) to skip re-shingling the corpus
+    entirely; without it the corpus text is re-read, pruned to
+    candidate docs by the semi-join."""
     new_ids = candidates.select("new_id").distinct()
     corp_ids = candidates.select("corpus_id").distinct()
     new_sh = (
@@ -476,12 +488,17 @@ def cross_jaccard(
         .distinct()
         .join(new_ids, "new_id", "left_semi")
     )
-    corp_sh = (
-        shingle_hashes(corpus_df, text_col, n, portable)
-        .select(F.col(id_col).alias("corpus_id"), "h")
-        .distinct()
-        .join(corp_ids, "corpus_id", "left_semi")
-    )
+    if corpus_shingles is not None:
+        corp_sh = corpus_shingles.join(corp_ids, "corpus_id", "left_semi")
+    elif corpus_df is not None:
+        corp_sh = (
+            shingle_hashes(corpus_df, text_col, n, portable)
+            .select(F.col(id_col).alias("corpus_id"), "h")
+            .distinct()
+            .join(corp_ids, "corpus_id", "left_semi")
+        )
+    else:
+        raise ValueError("need corpus_df or corpus_shingles")
     sz_new = new_sh.groupBy("new_id").agg(F.count(F.lit(1)).alias("sz_n"))
     sz_corp = corp_sh.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("sz_c"))
     inter = (
@@ -506,9 +523,9 @@ def cross_jaccard(
 
 def dedup_incremental(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None = None,
     *,
-    index: tuple[DataFrame, DataFrame] | None = None,
+    index: tuple[DataFrame, ...] | None = None,
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -531,13 +548,25 @@ def dedup_incremental(
     Intra-snapshot duplicates are deliberately NOT removed here — that
     is the corpus-wide :func:`lsh_candidates`/:func:`jaccard_pairs`
     pass's job; this operator answers "is it already in the corpus?".
-    Pass a persisted ``index`` (from :func:`build_dedup_index`) to skip
-    recomputing it per snapshot — the incremental point."""
+    Pass a persisted 3-table ``index`` (from :func:`build_dedup_index`)
+    and omit ``corpus_df`` to run a snapshot ingest with ZERO corpus
+    reads — the incremental point; a legacy 2-table (exact, bands)
+    index still works but re-reads candidate corpus docs for the
+    rescore."""
     if index is None:
+        if corpus_df is None:
+            raise ValueError("need corpus_df or index")
         index = build_dedup_index(
             corpus_df, text_col=text_col, id_col=id_col, n=n, portable=portable
         )
-    exact_idx, band_idx = index
+    if len(index) == 3:
+        exact_idx, band_idx, shingle_idx = index
+    else:
+        (exact_idx, band_idx), shingle_idx = index, None
+    if shingle_idx is None and corpus_df is None:
+        raise ValueError(
+            "a 2-table index needs corpus_df for the jaccard rescore"
+        )
     th = portable_hash60(normalize_text(F.col(text_col)))
     survivors = (
         new_df.withColumn("_th", th)
@@ -567,6 +596,7 @@ def dedup_incremental(
     scored = cross_jaccard(
         survivors, corpus_df, cand,
         text_col=text_col, id_col=id_col, n=n, portable=portable,
+        corpus_shingles=shingle_idx,
     )
     kill = (
         scored.filter(F.col("jaccard") >= threshold)

@@ -254,11 +254,13 @@ def mmdb_range_table(
     range-join replaces per-row point lookups at scale."""
     reader = MMDBReader(path)
     rows = []
-    keys: list[str] = list(fields) if fields else []
+    # fields=None → discover every key in the db; fields=[] → no
+    # attribute columns (just the ip range)
+    keys: list[str] = list(fields) if fields is not None else []
     flat_records = [
         (lo, hi, flatten_record(rec)) for lo, hi, rec in reader.networks()
     ]
-    if not fields:
+    if fields is None:
         seen: dict[str, None] = {}
         for _, _, flat in flat_records:
             for k in flat:
@@ -268,8 +270,18 @@ def mmdb_range_table(
         rows.append(
             (lo, hi, *[None if flat.get(k) is None else str(flat[k]) for k in keys])
         )
-    cols = ["ip_lo", "ip_hi"] + [k.replace(".", "_") for k in keys]
-    schema = "ip_lo long, ip_hi long, " + ", ".join(
-        f"{c} string" for c in cols[2:]
+    # programmatic StructType, NOT a DDL string: real GeoLite2 keys
+    # contain hyphens (country.names.zh-CN) that DDL rejects as
+    # unquoted identifiers, and zero attribute keys must still yield a
+    # valid two-column schema
+    from pyspark.sql import types as T
+
+    attr_cols = [k.replace(".", "_") for k in keys]
+    schema = T.StructType(
+        [
+            T.StructField("ip_lo", T.LongType()),
+            T.StructField("ip_hi", T.LongType()),
+            *[T.StructField(c, T.StringType()) for c in attr_cols],
+        ]
     )
     return spark.createDataFrame(rows, schema)

@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import socket
 
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 # --------------------------------------------------------------------------
@@ -725,14 +726,93 @@ def decrypt(col: Column, algorithm: str, key: str) -> Column:
     ).cast("string")
 
 
-def parse_ruby_hash(col: Column, schema: str) -> Column:
+def _ruby_hash_to_json(s: str | None) -> str | None:
+    """String-aware Ruby-hash → JSON rewrite: quoted spans pass through
+    untouched (single-quoted ones re-escaped as JSON), `:sym =>` /
+    `=>` / bare `:sym` / `nil` rewrite only OUTSIDE strings.  A
+    context-free regex rewrite corrupts any value containing '=>'."""
+    import json as _json
+
+    if s is None:
+        return None
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == '"':
+            j = i + 1
+            while j < n and s[j] != '"':
+                j += 2 if s[j] == "\\" else 1
+            out.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if c == "'":
+            j = i + 1
+            buf: list[str] = []
+            while j < n and s[j] != "'":
+                # ruby single-quote escapes: only \' and \\
+                if s[j] == "\\" and j + 1 < n and s[j + 1] in ("'", "\\"):
+                    buf.append(s[j + 1])
+                    j += 2
+                else:
+                    buf.append(s[j])
+                    j += 1
+            out.append(_json.dumps("".join(buf)))
+            i = j + 1
+            continue
+        if c == ":" and i + 1 < n and (s[i + 1].isalpha() or s[i + 1] == "_"):
+            j = i + 1
+            while j < n and (s[j].isalnum() or s[j] == "_"):
+                j += 1
+            sym = s[i + 1 : j]
+            k = j
+            while k < n and s[k] in " \t":
+                k += 1
+            if s[k : k + 2] == "=>":
+                out.append(f'"{sym}":')
+                i = k + 2
+            else:
+                out.append(f'"{sym}"')
+                i = j
+            continue
+        if s[i : i + 2] == "=>":
+            out.append(":")
+            i += 2
+            continue
+        if (
+            s[i : i + 3] == "nil"
+            and (i + 3 == n or not (s[i + 3].isalnum() or s[i + 3] == "_"))
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+        ):
+            out.append("null")
+            i += 3
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def parse_ruby_hash(col: Column, schema: str, engine: str = "exact") -> Column:
     """VRL parse_ruby_hash: ``{"k" => "v", :sym => 1}`` → struct.
-    Rewrites the hash-rocket/symbol syntax to JSON JVM-side, then
-    from_json — one expression, no Python."""
-    json_ish = F.regexp_replace(col, r":(\w+)\s*=>", '"$1":')
-    json_ish = F.regexp_replace(json_ish, r"=>", ":")
-    json_ish = F.regexp_replace(json_ish, r"\bnil\b", "null")
-    return F.from_json(json_ish, schema)
+
+    ``engine="exact"`` (default): string-aware tokenizer as an
+    Arrow-batched pandas UDF — quoted values containing ``=>`` or
+    ``:word`` survive, single-quoted Ruby strings are handled.
+    ``engine="jvm"``: the original pure-regexp rewrite (one JVM
+    expression, no Python) — faster, but context-free: it also
+    rewrites rocket syntax INSIDE string values, so use it only on
+    inputs whose values can't contain ``=>``."""
+    if engine == "jvm":
+        json_ish = F.regexp_replace(col, r":(\w+)\s*=>", '"$1":')
+        json_ish = F.regexp_replace(json_ish, r"=>", ":")
+        json_ish = F.regexp_replace(json_ish, r"\bnil\b", "null")
+        return F.from_json(json_ish, schema)
+
+    @F.pandas_udf("string")
+    def _rewrite(vals: pd.Series) -> pd.Series:
+        return vals.map(_ruby_hash_to_json)
+
+    return F.from_json(_rewrite(col), schema)
 
 
 #: public-suffix entries beyond single-label TLDs needed by

@@ -46,11 +46,11 @@ def route(
     route.rs).
 
     ``cache=True`` persists the input (MEMORY_AND_DISK) so that writing
-    every port does not re-evaluate the upstream DAG once per sink —
-    use it when each port triggers its own action (the config
-    run_topology path does); when all sinks share one schema, the
-    single-pass :func:`route_tag_column` + explode encoding avoids the
-    multi-action shape entirely.
+    every port does not re-evaluate the upstream DAG once per sink.
+    The CALLER owns the unpersist (the config runner persists at its
+    own layer and unpersists after the per-port actions); when all
+    sinks share one schema, the single-pass :func:`route_tag_column` +
+    explode encoding avoids the multi-action shape entirely.
     """
     if UNMATCHED in routes:
         raise ValueError(f"{UNMATCHED!r} is a reserved port name")

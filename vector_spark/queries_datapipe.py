@@ -161,9 +161,12 @@ scored AS (
     + "\nSELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5",
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_bucket=None: the DuckDB oracle models no bucket cap, so the
+    # gated query must run the exact (uncapped) semantics — the cap is
+    # the production default, not part of the verified definition
     dup = _dup_df(spark, sf_dir)
     sigs = minhash_signatures(dup)
-    cand = lsh_candidates(sigs)
+    cand = lsh_candidates(sigs, max_bucket=None)
     return jaccard_pairs(dup, cand, threshold=0.5)
 
 
@@ -185,7 +188,7 @@ def q_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     puts the WHOLE path (not just the pair list) under the hash gate."""
     dup = _dup_df(spark, sf_dir)
     sigs = minhash_signatures(dup)
-    cand = lsh_candidates(sigs)
+    cand = lsh_candidates(sigs, max_bucket=None)  # uncapped: see q_minhash_lsh
     pairs = jaccard_pairs(dup, cand, threshold=0.8)
     kill = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     surviving = dup.join(kill, "doc_id", "left_anti")
@@ -315,7 +318,8 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     snap = _snapshot_df(spark, sf_dir)
-    ingested = dedup_incremental(snap, corpus, threshold=0.8)
+    # uncapped: the oracle models no bucket cap (see q_minhash_lsh)
+    ingested = dedup_incremental(snap, corpus, threshold=0.8, max_bucket=None)
     return ingested.agg(
         F.count(F.lit(1)).alias("n_ingested"),
         F.sum("doc_id").alias("ingested_checksum"),

@@ -275,6 +275,12 @@ def octet_frames(col: Column, max_length: int | None = None) -> Column:
                     i += 1
                 if 0 < i and buf[i : i + 1] == b" ":
                     n = int(buf[:i])
+                    if len(buf) < i + 1 + n:
+                        # incomplete trailing frame: the reference's
+                        # framer holds it awaiting more bytes and
+                        # errors at EOF — never emits a truncated
+                        # fragment as if it were a complete frame
+                        break
                     frame = buf[i + 1 : i + 1 + n]
                     buf = buf[i + 1 + n :]
                     if max_length is not None and n > max_length:
@@ -320,6 +326,8 @@ def length_delimited_frames(col: Column, max_length: int | None = None) -> Colum
             out: list[bytes] = []
             while len(buf) >= 4:
                 n = int.from_bytes(buf[:4], "big")
+                if len(buf) < 4 + n:
+                    break  # incomplete trailing frame — see octet_frames
                 frame, buf = buf[4 : 4 + n], buf[4 + n :]
                 if max_length is None or n <= max_length:
                     out.append(frame)
@@ -347,10 +355,16 @@ def reassemble_gelf_chunks(
     is_chunk = (F.octet_length(p) > 12) & (
         F.substring(p, 1, 2) == F.lit(GELF_MAGIC)
     )
+    # seq/total are RAW BYTES (0..255, GELF allows up to 128 chunks):
+    # decode numerically via hex — a binary→string cast mangles bytes
+    # >= 0x80 (invalid standalone UTF-8 → U+FFFD → ascii() = 65533)
+    def _byte_at(pos: int) -> Column:
+        return F.conv(F.hex(F.substring(p, pos, 1)), 16, 10).cast("int")
+
     chunks = df.filter(is_chunk).select(
         F.hex(F.substring(p, 3, 8)).alias("_msg_id"),
-        F.ascii(F.substring(p, 11, 1).cast("string")).alias("_seq"),
-        F.ascii(F.substring(p, 12, 1).cast("string")).alias("_total"),
+        _byte_at(11).alias("_seq"),
+        _byte_at(12).alias("_total"),
         F.substring(p, 13, 2_147_483_647).alias("_body"),
     )
     whole = df.filter(~is_chunk).select(p.alias("message"))
