@@ -50,7 +50,11 @@ def main() -> None:
 
     pairs = jaccard_pairs(dup, lsh_candidates(sigs), threshold=0.8)
     kill = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    survivors = dup.join(kill, "doc_id", "left_anti")
+    # persist: everything below (quality gates, decontamination, the
+    # ingest index) reads the accepted corpus several times — in
+    # production this is the WRITTEN corpus table, so materialize the
+    # demo equivalent instead of recomputing the whole LSH chain per use
+    survivors = dup.join(kill, "doc_id", "left_anti").persist()
     print(f"after near-dedup (jaccard>=0.8): {survivors.count()} docs")
 
     # quality gate: Gopher rules + repetition metrics
@@ -78,6 +82,18 @@ def main() -> None:
     contaminated = decontaminate(survivors, bench, n=13)
     print(f"benchmark-contaminated docs:     {contaminated.count()} "
           "(dropped before training)")
+
+    # incremental ingest: dedup a NEW snapshot against the accepted
+    # corpus via the persisted 3-table index — zero corpus re-reads
+    from vector_spark.datapipe.dedup import build_dedup_index, dedup_incremental
+    from vector_spark.queries_datapipe import _snapshot_df
+
+    idx = build_dedup_index(survivors)
+    snap = _snapshot_df(spark, sf_dir)
+    n_snap = snap.count()
+    ingested = dedup_incremental(snap, index=idx)
+    print(f"snapshot ingest:                 {ingested.count()}/{n_snap} "
+          "docs accepted (rest already in corpus)")
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",

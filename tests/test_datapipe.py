@@ -562,3 +562,29 @@ def test_dedup_incremental_phases(spark):
         "doc_id long, text string",
     )
     assert dedup_incremental(twins, corpus).count() == 2
+
+
+def test_dedup_incremental_plan_quality(spark):
+    """Scale gates for the ingest path: no cartesian/nested-loop join
+    anywhere (every stage is hash-join or aggregate), the exact phase
+    is an anti join on the hash, and the index-only variant compiles
+    without touching a corpus text column."""
+    from vector_spark.datapipe.dedup import build_dedup_index, dedup_incremental
+
+    dup = _dup_df(spark, SF_DIR)
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dedup_incremental(dup, corpus)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan  # exact phase + kill-list anti joins
+
+    idx = build_dedup_index(corpus)
+    plan2 = (
+        dedup_incremental(dup, index=idx)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2

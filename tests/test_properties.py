@@ -375,3 +375,51 @@ def test_decontaminate_self_flags_all_long_docs(spark):
     long_docs = docs.filter(token_count(F.col("text")) >= 13).select("doc_id")
     assert flagged.exceptAll(long_docs).count() == 0
     assert long_docs.exceptAll(flagged).count() == 0
+
+
+# ruby-hash values: strings may contain the very tokens the rewriter
+# targets ('=>', ':sym =>', 'nil', quotes), plus ints/floats/nil
+_ruby_str = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\0\r\n",
+    ),
+    max_size=24,
+)
+_ruby_val = st.one_of(
+    _ruby_str, st.integers(-10**6, 10**6), st.none(),
+)
+_ruby_key = st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True)
+
+
+def _render_ruby(d: dict, symbol_keys: bool) -> str:
+    import json as _json
+
+    parts = []
+    for k, v in d.items():
+        key = f":{k}" if symbol_keys else _json.dumps(k)
+        if v is None:
+            val = "nil"
+        elif isinstance(v, str):
+            val = _json.dumps(v)
+        else:
+            val = str(v)
+        parts.append(f"{key} => {val}")
+    return "{ " + ", ".join(parts) + " }"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    d=st.dictionaries(_ruby_key, _ruby_val, min_size=1, max_size=6),
+    symbol_keys=st.booleans(),
+)
+def test_ruby_hash_rewriter_roundtrip(d, symbol_keys):
+    """The string-aware rewriter (pure function, no Spark) must produce
+    JSON that parses back to the original dict for ANY value content —
+    including values containing '=>', ':sym =>', quotes, or 'nil',
+    which the old context-free regex rewrite corrupted."""
+    import json as _json
+
+    from vector_spark.functions.vrl import _ruby_hash_to_json
+
+    rendered = _render_ruby(d, symbol_keys)
+    assert _json.loads(_ruby_hash_to_json(rendered)) == d
