@@ -198,3 +198,24 @@ def test_source_facet_on_frame_missing_ddsource(spark):
 def test_syntax_errors_raise():
     with pytest.raises(ValueError):
         datadog_search("(host:foo")
+
+
+def test_keyword_on_frame_missing_default_field(spark):
+    """Free-text terms go through the resolver too: with columns=, a
+    frame lacking the default field compiles keywords to no-match
+    instead of failing analysis."""
+    df = spark.createDataFrame(
+        [("app", ["env:prod"])], "source string, ddtags array<string>"
+    )
+    cond = datadog_search(
+        "error OR source:app", tags_cols=("ddtags",),
+        columns=set(df.columns),
+    )
+    assert df.filter(cond).count() == 1  # via the facet, not the keyword
+    cond2 = datadog_search("error", columns=set(df.columns))
+    assert df.filter(cond2).count() == 0
+
+
+def test_resolver_and_columns_are_mutually_exclusive():
+    with pytest.raises(ValueError, match="not both"):
+        datadog_search("a:b", resolver=lambda n: F.col(n), columns={"a"})

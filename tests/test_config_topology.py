@@ -303,3 +303,33 @@ def test_length_delimited_file_source_in_config(spark, tmp_path):
     }
     out = build_topology(spark, cfg)["in"]
     assert sorted(r["value"] for r in out.collect()) == sorted(msgs)
+
+
+def test_run_topology_unpersists_on_build_failure(spark):
+    """A component that fails to BUILD after the route branch persisted
+    its input must still be unpersisted — the leak guard covers build
+    errors, not just sink errors."""
+    import pytest as _pytest
+
+    from vector_spark.config import ConfigError, run_topology
+
+    baseline = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    cfg = {
+        "sources": {"in": {"type": "demo_logs", "n": 10}},
+        "transforms": {
+            "r": {"type": "route", "inputs": ["in"],
+                  "routes": {"x": "true", "y": "false"}},
+            "bad": {"type": "no_such_transform", "inputs": ["r.x"]},
+        },
+        "sinks": {"s": {"type": "blackhole", "inputs": ["bad"]}},
+    }
+    with _pytest.raises(ConfigError):
+        run_topology(spark, cfg)
+    import time
+    for _ in range(50):  # unpersist is async on the Spark side
+        if (spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+                <= baseline):
+            break
+        time.sleep(0.1)
+    assert (spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+            <= baseline)

@@ -588,3 +588,28 @@ def test_dedup_incremental_plan_quality(spark):
     )
     assert "CartesianProduct" not in plan2
     assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_dedup_incremental_caps_mass_duplicate_snapshot(spark):
+    """A mass-duplicate ingest batch (thousands of near-identical docs
+    sharing every band key) must not fan out O(bucket²) against the
+    corpus: the snapshot side of the band join is capped symmetrically
+    with the corpus side.  The clones pass or fail TOGETHER (none are
+    corpus near-dups once the bucket is skipped), and the uncapped
+    exact phase still removes true exact clones."""
+    from vector_spark.datapipe.dedup import dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "some corpus document words here repeated for realistic size")],
+        "doc_id long, text string",
+    )
+    clones = spark.range(2000).select(
+        (F.col("id") + 100).alias("doc_id"),
+        F.lit("one mass duplicated snapshot document body with many words "
+              "that shares every minhash band").alias("text"),
+    )
+    out = dedup_incremental(clones, corpus, max_bucket=100)
+    # snapshot buckets are oversized → skipped → no corpus candidates →
+    # all clones ingest (they are not corpus dups; INTRA-snapshot dedup
+    # is out of scope by contract)
+    assert out.count() == 2000

@@ -175,6 +175,12 @@ def datadog_search(
     missing-attribute semantics) instead of failing analysis — e.g.
     the reserved ``source:`` facet consults both source and ddsource,
     and most frames carry only one of the two."""
+    if resolver is not None and columns is not None:
+        raise ValueError(
+            "pass either resolver= or columns=, not both — a custom "
+            "resolver owns name→Column mapping entirely (wrap your own "
+            "absent-column handling inside it)"
+        )
     if resolver is not None:
         resolve = resolver
     elif columns is not None:
@@ -314,7 +320,7 @@ def datadog_search(
             return F.lit(True)
         if tok.startswith('"'):
             return _null_safe(
-                F.col(default_field)
+                resolve(default_field)
                 .cast("string")
                 .rlike(_word_regex(_unescape(tok[1:-1])))
             )
@@ -330,9 +336,11 @@ def datadog_search(
                     return ~tag_exists(raw)
                 return resolve(raw).isNull()
             return facet_match(field, raw)
-        # bare keyword → word-boundary match on the default field
+        # bare keyword → word-boundary match on the default field —
+        # through the resolver, so columns= / custom resolvers govern
+        # free-text terms the same way they govern facets
         return _null_safe(
-            F.col(default_field)
+            resolve(default_field)
             .cast("string")
             .rlike(_word_regex(_unescape(tok)))
         )

@@ -384,9 +384,11 @@ def run_topology(spark: SparkSession, config: dict) -> dict[str, int]:
     from vector_spark.sources.sinks import blackhole, console, write_sink
 
     persisted: list[DataFrame] = []
-    results = build_topology(spark, config, persisted)
     counts: dict[str, int] = {}
     try:
+        # inside the try: a component that fails to BUILD after the
+        # route branch persisted its input must still be unpersisted
+        results = build_topology(spark, config, persisted)
         for name, cfg in config.get("sinks", {}).items():
             df = _union_inputs(results, cfg["inputs"])
             typ = cfg["type"]

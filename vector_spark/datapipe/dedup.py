@@ -532,6 +532,7 @@ def dedup_incremental(
     n: int = 3,
     max_bucket: int | None = LSH_MAX_BUCKET,
     portable: bool = True,
+    cache: bool = True,
 ) -> DataFrame:
     """Incremental snapshot-ingest dedup: the subset of ``new_df`` that
     is neither an exact nor a near (jaccard ≥ ``threshold``) duplicate
@@ -577,14 +578,31 @@ def dedup_incremental(
         )
         .drop("_th")
     )
+    if cache:
+        # the survivors subtree (snapshot parse + normalize + md5 +
+        # exact anti-join) feeds the band join, the jaccard rescore,
+        # and the final anti-join — Catalyst does not share common
+        # subtrees across plan branches (see _banded), so without a
+        # persist one ingest recomputes it ~5×.  Spark's ContextCleaner
+        # reclaims the cache once the result frame is unreachable;
+        # pass cache=False for pure-lazy plans (plan gates, oracles).
+        survivors = survivors.persist()
     sigs = minhash_signatures(survivors, text_col, id_col, n, portable)
     new_bands = _banded(sigs, id_col).select(
         F.col(id_col).alias("new_id"), "band_key"
     )
     if max_bucket is not None:
+        # cap BOTH sides of the band join: a degenerate corpus bucket
+        # AND a mass-duplicate ingest batch (thousands of near-identical
+        # snapshot docs sharing every band key) are each O(bucket²)
         w = W.partitionBy("band_key")
         band_idx = (
             band_idx.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+        new_bands = (
+            new_bands.withColumn("_bn", F.count(F.lit(1)).over(w))
             .filter(F.col("_bn") <= max_bucket)
             .drop("_bn")
         )
@@ -593,6 +611,8 @@ def dedup_incremental(
         .select("new_id", "corpus_id")
         .distinct()
     )
+    if cache:
+        cand = cand.persist()  # consumed 3× inside cross_jaccard
     scored = cross_jaccard(
         survivors, corpus_df, cand,
         text_col=text_col, id_col=id_col, n=n, portable=portable,

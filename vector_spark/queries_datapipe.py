@@ -110,21 +110,27 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # minhash signatures + LSH candidates + verified near-dup pairs
 
 
-def _sig_sql() -> str:
+def _sig_sql(keys: str = "doc_id") -> str:
+    """The ONE minhash-aggregate rendering every oracle shares; ``keys``
+    adds grouping columns (the incremental oracle groups by
+    (side, doc_id)) so there is a single render site for the
+    permutation constants."""
     aggs = ", ".join(
         f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{j}"
         for j, (a, b) in enumerate(MINHASH_COEFFS)
     )
-    return f",\nsigs AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id)"
+    return f",\nsigs AS (SELECT {keys}, {aggs} FROM sh GROUP BY {keys})"
 
 
-def _bands_sql() -> str:
+def _bands_sql(keys: str = "doc_id") -> str:
+    """The ONE band-key rendering (same single-render-site rule)."""
     rows = len(MINHASH_COEFFS) // LSH_BANDS
     parts = []
     for b in range(LSH_BANDS):
         cols = ", ".join(f"mh{j}" for j in range(b * rows, (b + 1) * rows))
         parts.append(
-            f"SELECT doc_id, concat_ws('_', '{b}', {cols}) AS band_key FROM sigs"
+            f"SELECT {keys}, concat_ws('_', '{b}', {cols}) AS band_key"
+            " FROM sigs"
         )
     return ",\nbands AS (" + " UNION ALL ".join(parts) + ")"
 
@@ -204,21 +210,10 @@ def q_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _incr_sql() -> str:
     """Side-aware rendering of the exact + minhash-LSH + jaccard chain
-    for the snapshot-vs-corpus case (same constants as the Spark
-    implementation; 'c' = corpus, 'n' = phase-1 snapshot survivors)."""
-    aggs = ", ".join(
-        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{j}"
-        for j, (a, b) in enumerate(MINHASH_COEFFS)
-    )
-    rows = len(MINHASH_COEFFS) // LSH_BANDS
-    band_parts = []
-    for b in range(LSH_BANDS):
-        cols = ", ".join(f"mh{j}" for j in range(b * rows, (b + 1) * rows))
-        band_parts.append(
-            f"SELECT side, doc_id, concat_ws('_', '{b}', {cols}) AS band_key"
-            " FROM sigs"
-        )
-    bands = " UNION ALL ".join(band_parts)
+    for the snapshot-vs-corpus case ('c' = corpus, 'n' = phase-1
+    snapshot survivors).  The sig/band CTEs come from the SHARED
+    renderers (keys="side, doc_id") — one render site per constant;
+    only the asymmetric candidate/jaccard joins are bespoke."""
     return f"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
 snap AS (
@@ -249,9 +244,7 @@ grams AS ({_grams_sql(3, 'w')}),
 sh AS (
   SELECT DISTINCT side, doc_id, {_H60.format(e='gram')} % {HASH_MOD} AS h
   FROM grams
-),
-sigs AS (SELECT side, doc_id, {aggs} FROM sh GROUP BY side, doc_id),
-bands AS ({bands}),
+){_sig_sql("side, doc_id")}{_bands_sql("side, doc_id")},
 cand AS (
   SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
   FROM bands nb JOIN bands cb USING (band_key)
