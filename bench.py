@@ -200,6 +200,41 @@ def main() -> None:
         corpus.join(kill, "doc_id", "left_anti").count()
 
     bench("near_dedup_chain", _near_dedup)
+
+    # incremental snapshot ingest: dedup a dup-injected snapshot
+    # against the corpus index (exact anti-join + cross-set LSH +
+    # jaccard rescore) — the per-ingest cost a 100 TB pipeline pays
+    # per new crawl batch, with the corpus side index-only
+    def _incremental_ingest() -> None:
+        from vector_spark.datapipe.dedup import (
+            build_dedup_index,
+            dedup_incremental,
+        )
+
+        corpus = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .repartition(cpus)
+        )
+        snap = (
+            corpus.filter(F.col("doc_id") % 3 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+            .unionByName(
+                corpus.filter(F.col("doc_id") % 5 == 0)
+                .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+                .withColumn(
+                    "text", F.concat(F.col("text"), F.lit(" tail words here"))
+                )
+            )
+        )
+        idx = tuple(t.persist() for t in build_dedup_index(corpus))
+        try:
+            dedup_incremental(snap, index=idx).count()
+        finally:
+            for t in idx:
+                t.unpersist()
+
+    bench("incremental_ingest", _incremental_ingest)
     bench(
         "text_analysis",
         lambda: analyze_documents(transcripts)
