@@ -613,3 +613,73 @@ def test_dedup_incremental_caps_mass_duplicate_snapshot(spark):
     # all clones ingest (they are not corpus dups; INTRA-snapshot dedup
     # is out of scope by contract)
     assert out.count() == 2000
+
+
+def test_pack_sequences_known_values(spark):
+    """Exact packing semantics on hand-computed offsets, including a
+    doc that straddles a sequence boundary (start-bin semantics)."""
+    from vector_spark.datapipe.packing import pack_sequences, sequence_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),          # 3 tokens, offset 0,  seq 0
+            (2, "d e f g"),        # 4 tokens, offset 3,  seq 0
+            (3, "h i j k l m n"),  # 7 tokens, offset 7,  seq 0 (straddles)
+            (4, "o p"),            # 2 tokens, offset 14, seq 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["token_offset"], r["seq_id"],
+                      r["seq_offset"])
+        for r in pack_sequences(df, budget=8).collect()
+    }
+    assert got == {
+        1: (3, 0, 0, 0),
+        2: (4, 3, 0, 3),
+        3: (7, 7, 0, 7),
+        4: (2, 14, 1, 6),
+    }
+    stats = {r["seq_id"]: (r["n_docs"], r["anchored_tokens"])
+             for r in sequence_stats(pack_sequences(df, budget=8)).collect()}
+    assert stats == {0: (3, 14), 1: (1, 2)}
+
+
+def test_pack_sequences_partitioning_independent(spark):
+    """The packing is defined by (id order, token counts) alone: any
+    bucket count — including one that forces many tiny buckets — and
+    any input partitioning must produce identical assignments."""
+    from vector_spark.datapipe.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = sorted(
+        map(tuple, pack_sequences(docs, budget=512).collect())
+    )
+    alt = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                docs.repartition(7), budget=512, n_buckets=3
+            ).collect(),
+        )
+    )
+    assert base == alt
+
+
+def test_pack_sequences_plan_has_no_global_window(spark):
+    """The prefix sum must never route the corpus through one task:
+    the cumsum window is partitioned by bucket, so the packed output's
+    plan contains no SinglePartition exchange."""
+    from vector_spark.datapipe.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = (
+        pack_sequences(docs, budget=512)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

@@ -205,6 +205,46 @@ def q_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sequence packing (concat-then-chunk pretraining layout)
+
+
+@register(
+    "doc_sequence_packing",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+pref AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
+           AS token_offset
+  FROM toks
+),
+packed AS (SELECT *, token_offset // 512 AS seq_id FROM pref)
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS anchored_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM packed GROUP BY seq_id""",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing at a 512-token budget, rolled up per
+    sequence.  The Spark side runs the distributed two-phase prefix
+    sum (bucketed cumsum + broadcast offsets — no global window); the
+    oracle is the plain global-window cumsum, which must agree
+    bit-for-bit because the result is partitioning-independent."""
+    from vector_spark.datapipe.packing import pack_sequences, sequence_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return sequence_stats(pack_sequences(docs, budget=512))
+
+
+# ---------------------------------------------------------------------------
 # incremental (cross-snapshot) dedup: snapshot vs corpus index
 
 

@@ -49,9 +49,10 @@ _PRIORITY: list[str] = [
     # its slot goes to doc_incremental_dedup)
     "route_sink_errors", "route_unmatched",
     "route_counts", "exclusive_route_counts",
-    # aggregate / pipeline
+    # aggregate / pipeline (pipeline_fused_agg demoted: near-duplicate
+    # of pipeline_stats; its slot goes to doc_sequence_packing)
     "aggregate_errors_1m", "aggregate_by_role_diff",
-    "pipeline_stats", "pipeline_fused_agg",
+    "pipeline_stats",
     # reduce / sessions (ends_when variant demoted: three other
     # reduce gates stay in-window)
     "reduce_conversations", "sessionize_counts", "reduce_sessions",
@@ -75,7 +76,7 @@ _PRIORITY: list[str] = [
     "emb_near_dup_pairs",
     # r3-continuation training-data ops (first-class per the brief)
     "doc_repetition", "doc_gopher_quality", "doc_decontamination",
-    "doc_line_dedup_global",
+    "doc_line_dedup_global", "doc_sequence_packing",
 ]
 
 
