@@ -272,3 +272,28 @@ def test_trace_to_log_and_static_enrich(spark):
     enr = static_enrich(df2, {"ami_id": "ami-123", "az": "us-east-1a"})
     r = enr.first()
     assert r["ami_id"] == "ami-123" and r["az"] == "us-east-1a"
+
+
+def test_find_enrichment_records_multi_row(spark):
+    """find_enrichment_table_records semantics: ALL matches per event —
+    fan-out rendering and array rendering (event cardinality kept,
+    misses become empty arrays)."""
+    from vector_spark.enrich import find_enrichment_records
+
+    fact = spark.createDataFrame(
+        [(1, "user"), (2, "tool"), (3, "ghost")],
+        "event_id long, role string",
+    )
+    lookup = spark.createDataFrame(
+        [("user", "blue"), ("user", "navy"), ("tool", "red")],
+        "role string, color string",
+    )
+    fanned = find_enrichment_records(fact, lookup, ["role"])
+    assert fanned.count() == 4  # 2 + 1 + 1 (miss keeps its row)
+
+    arr = find_enrichment_records(
+        fact, lookup, ["role"], as_array="matches", id_cols=["event_id"]
+    )
+    got = {r["event_id"]: sorted(m["color"] for m in r["matches"])
+           for r in arr.collect()}
+    assert got == {1: ["blue", "navy"], 2: ["red"], 3: []}

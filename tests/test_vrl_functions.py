@@ -564,3 +564,38 @@ def test_get_path_and_map_contains(spark):
     m = F.create_map(F.lit("a"), F.lit("1"))
     assert _one(spark, vrl.map_contains_key(m, "a")) is True
     assert _one(spark, vrl.map_contains_key(m, "z")) is False
+
+
+def test_secrets_map_functions(spark):
+    """get/set/remove_secret over the event secrets map column
+    (lib/vector-vrl/functions): upsert replaces, remove drops, get on
+    absent key is null, and a null map is treated as empty."""
+    df = spark.createDataFrame(
+        [({"token": "t1"},), (None,)],
+        "secrets map<string,string>",
+    )
+    s = F.col("secrets")
+    rows = df.select(
+        vrl.get_secret(s, "token").alias("got"),
+        vrl.set_secret(s, "token", "t2").alias("upserted"),
+        vrl.set_secret(s, "extra", F.lit("x")).alias("added"),
+        vrl.remove_secret(s, "token").alias("removed"),
+    ).collect()
+    assert rows[0]["got"] == "t1"
+    assert rows[0]["upserted"] == {"token": "t2"}
+    assert rows[0]["added"] == {"token": "t1", "extra": "x"}
+    assert rows[0]["removed"] == {}
+    assert rows[1]["got"] is None
+    assert rows[1]["upserted"] == {"token": "t2"}
+    assert rows[1]["removed"] == {}
+
+
+def test_semantic_meaning_registry(spark):
+    reg = {}
+    vrl.set_semantic_meaning("message", "text", registry=reg)
+    df = spark.createDataFrame([("hello",)], "text string")
+    [r] = df.select(vrl.semantic_col("message", registry=reg).alias("m")).collect()
+    assert r["m"] == "hello"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not defined"):
+        vrl.semantic_col("nope", registry=reg)

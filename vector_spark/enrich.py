@@ -72,6 +72,48 @@ def enrich(
     return joined.drop(*[lookup[k] for k in keys])
 
 
+def find_enrichment_records(
+    fact: DataFrame,
+    lookup: DataFrame,
+    keys: list[str],
+    *,
+    as_array: str | None = None,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """VRL ``find_enrichment_table_records``: ALL matching lookup rows
+    per event (the multi-row sibling of :func:`enrich`, which asserts
+    uniqueness — lib/vector-vrl/enrichment/src/lib.rs:46-52).
+
+    Default rendering is the relational one — a broadcast left join
+    that fans out one output row per match (unmatched rows keep nulls).
+    Pass ``as_array="matches"`` (+ ``id_cols``, the fact's key columns)
+    to keep event cardinality instead: matches are gathered into an
+    array<struct> column via one groupBy over ``id_cols``."""
+    joined = fact.join(F.broadcast(lookup), on=keys, how="left")
+    if as_array is None:
+        return joined
+    if not id_cols:
+        raise ValueError("as_array needs id_cols to restore event rows")
+    attr_cols = [c for c in lookup.columns if c not in keys]
+    if not attr_cols:
+        raise ValueError("lookup has no attribute columns beyond the keys")
+    fact_cols = [c for c in fact.columns if c not in id_cols]
+
+    def _any_attr_set(s: Column) -> Column:
+        # a left-join miss contributes one all-null struct: drop it
+        cond = s[attr_cols[0]].isNotNull()
+        for c in attr_cols[1:]:
+            cond = cond | s[c].isNotNull()
+        return cond
+
+    return joined.groupBy(*id_cols).agg(
+        *[F.first(c).alias(c) for c in fact_cols],
+        F.filter(
+            F.collect_list(F.struct(*attr_cols)), _any_attr_set
+        ).alias(as_array),
+    )
+
+
 def load_csv_lookup(spark, path: str, schema: str) -> DataFrame:
     """CSV enrichment table with explicit typed schema — the analogue of
     file.rs's `string|date|timestamp|int|float|bool` coercion (no

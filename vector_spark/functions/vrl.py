@@ -726,6 +726,67 @@ def decrypt(col: Column, algorithm: str, key: str) -> Column:
     ).cast("string")
 
 
+# ---------------------------------------------------------------------------
+# event metadata: secrets + semantic meaning
+# (the Vector-specific VRL registry additions —
+#  /root/reference/lib/vector-vrl/functions/src/lib.rs:28-45)
+
+def get_secret(secrets: Column, key: str) -> Column:
+    """VRL get_secret: read one entry from the event's secrets map
+    column (map<string,string>); null when absent — matching VRL's
+    null return for an unset secret."""
+    return F.element_at(secrets, F.lit(key))
+
+
+def set_secret(secrets: Column, key: str, value: Column | str) -> Column:
+    """VRL set_secret: upsert into the secrets map.  The existing key
+    is filtered out first so map_concat never sees a duplicate (Spark's
+    default mapKeyDedupPolicy=EXCEPTION); a null map is treated as
+    empty."""
+    v = value if isinstance(value, Column) else F.lit(value)
+    base = F.coalesce(
+        secrets, F.create_map().cast("map<string,string>")
+    )
+    return F.map_concat(
+        F.map_filter(base, lambda k, _: k != F.lit(key)),
+        F.create_map(F.lit(key), v),
+    )
+
+
+def remove_secret(secrets: Column, key: str) -> Column:
+    """VRL remove_secret: drop one key from the secrets map."""
+    base = F.coalesce(
+        secrets, F.create_map().cast("map<string,string>")
+    )
+    return F.map_filter(base, lambda k, _: k != F.lit(key))
+
+
+#: semantic-meaning registry: meaning name → column path.  Vector
+#: attaches meanings at config load (log_schema / semantic meaning
+#: definitions) and set_semantic_meaning mutates the global definition;
+#: the batch analogue is a driver-side registry resolved to Columns.
+_SEMANTIC_MEANINGS: dict[str, str] = {}
+
+
+def set_semantic_meaning(
+    meaning: str, path: str, registry: dict[str, str] | None = None
+) -> None:
+    """VRL set_semantic_meaning: bind a meaning name to an event path
+    (config-time metadata, not a per-row operation).  Pass ``registry``
+    to scope bindings per pipeline instead of the module default."""
+    (registry if registry is not None else _SEMANTIC_MEANINGS)[meaning] = path
+
+
+def semantic_col(
+    meaning: str, registry: dict[str, str] | None = None
+) -> Column:
+    """Resolve a registered semantic meaning to its Column."""
+    reg = registry if registry is not None else _SEMANTIC_MEANINGS
+    if meaning not in reg:
+        raise ValueError(f"semantic meaning {meaning!r} is not defined")
+    return F.col(reg[meaning])
+
+
 def _ruby_hash_to_json(s: str | None) -> str | None:
     """String-aware Ruby-hash → JSON rewrite: quoted spans pass through
     untouched (single-quoted ones re-escaped as JSON), `:sym =>` /
