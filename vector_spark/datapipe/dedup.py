@@ -426,6 +426,7 @@ def build_dedup_index(
     id_col: str = "doc_id",
     n: int = 3,
     portable: bool = True,
+    cache: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Reusable per-corpus dedup index:
     ``(exact_index, band_index, shingle_index)``.
@@ -447,15 +448,24 @@ def build_dedup_index(
         F.col(id_col).alias("corpus_id"),
         portable_hash60(normalize_text(F.col(text_col))).alias("text_h"),
     )
-    sigs = minhash_signatures(corpus, text_col, id_col, n, portable)
-    bands = _banded(sigs, id_col).select(
-        F.col(id_col).alias("corpus_id"), "band_key"
-    )
+    # ONE shingle pass feeds both the signature aggregation and the
+    # shingle index (min over the distinct set == min over the
+    # multiset, so sharing the distinct stream is exact);
+    # ``cache=True`` persists it so building bands does not re-shingle
+    # the corpus — ContextCleaner reclaims it with the index frames
     sh = (
         shingle_hashes(corpus, text_col, n, portable)
         .select(F.col(id_col).alias("corpus_id"), "h")
         .distinct()
     )
+    if cache:
+        sh = sh.persist()
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    sigs = sh.groupBy("corpus_id").agg(*aggs)
+    bands = _banded(sigs, "corpus_id").select("corpus_id", "band_key")
     return exact, bands, sh
 
 
