@@ -683,3 +683,31 @@ def test_pack_sequences_plan_has_no_global_window(spark):
     )
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_normalize_unicode_canonicalizes_before_hashing(spark):
+    """NFKC: composed vs decomposed accents and full-width forms hash
+    identically after normalization (the multilingual dedup pre-pass)."""
+    from vector_spark.datapipe.dedup import portable_hash60
+    from vector_spark.datapipe.text import normalize_unicode
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, "café latte"),            # é composed
+            (2, "café latte"),           # e + combining acute
+            (3, "ＣＡＦＥ"),   # full-width CAFE
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        portable_hash60(normalize_unicode(F.col("text"))).alias("h"),
+        normalize_unicode(F.col("text")).alias("norm"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["h"] == by_id[2]["h"]
+    assert by_id[3]["norm"] == "CAFE"
+    with _pytest.raises(ValueError, match="unknown normalization form"):
+        normalize_unicode(F.col("text"), form="NFX")

@@ -423,3 +423,22 @@ def test_ruby_hash_rewriter_roundtrip(d, symbol_keys):
 
     rendered = _render_ruby(d, symbol_keys)
     assert _json.loads(_ruby_hash_to_json(rendered)) == d
+
+
+# datadog-search fuzz: arbitrary token soup must either compile to a
+# Column or raise ValueError — never an unhandled exception type
+_dd_chars = st.sampled_from(list("abz9:*()\"'<>=[]- _@.\\ANDORT"))
+
+
+@settings(max_examples=300, deadline=None)
+@given(q=st.text(alphabet=_dd_chars, min_size=1, max_size=40))
+def test_datadog_search_fuzz_never_crashes(q):
+    from pyspark.sql import Column
+
+    from vector_spark.conditions_datadog import datadog_search
+
+    try:
+        c = datadog_search(q, tags_cols=("ddtags",))
+    except ValueError:
+        return
+    assert isinstance(c, Column)

@@ -4,6 +4,7 @@ DuckDB oracle; zero Python in the hot path)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from vector_spark.datapipe.dedup import normalize_text, portable_hash60
@@ -19,6 +20,26 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 #: BPE-ish token pattern: word pieces, numbers, or single non-space symbols
 TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def normalize_unicode(col: Column, form: str = "NFKC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) as an Arrow-batched
+    pandas UDF — the canonicalization pass that runs BEFORE hashing in
+    multilingual dedup (visually-identical strings with different
+    codepoint sequences must hash identically).  Not part of the
+    reference's VRL surface; a training-data preprocessing op."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @F.pandas_udf("string")
+    def _norm(vals: pd.Series) -> pd.Series:
+        return vals.map(
+            lambda s: None if s is None else unicodedata.normalize(form, s)
+        )
+
+    return _norm(col)
 
 
 def words(col: Column) -> Column:
