@@ -95,6 +95,27 @@ def main() -> None:
         )
 
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only == "dedup":
+        # near-dedup + clustering over n_turns template-text docs —
+        # the training-data ops' own two-size scaling target.  Both
+        # quadratic guards ON (templated text is the worst case the
+        # guards exist for): tight bucket cap + shingle df-cap keep the
+        # candidate volume linear-ish so the measurement tracks the
+        # scan/shuffle scaling, not a quadratic blowup.
+        from vector_spark.datapipe.dedup import dup_clusters
+
+        docs = transcripts.select(
+            (F.crc32("conv_id") * 100000 + F.col("turn_idx")).alias("doc_id"),
+            "text",
+        )
+        bench(
+            "pipeline",  # emitted under the headline key for emit()
+            lambda: dup_clusters(
+                docs, threshold=0.8, max_bucket=200, max_shingle_df=200
+            ).count(),
+        )
+        emit(timings, n_turns, cpus)
+        return
     if only == "scale_chain":
         # the reference's 12-step chain alone (its own two-size
         # experiment shape) — used by scaling_bench SCALE_TARGET=chain
@@ -200,6 +221,22 @@ def main() -> None:
         corpus.join(kill, "doc_id", "left_anti").count()
 
     bench("near_dedup_chain", _near_dedup)
+
+    # duplicate-group formation: the near-dedup chain plus connected
+    # components over the rescored pairs (iterative min-label
+    # propagation) — measures the full cluster-then-pick-representative
+    # path, including the per-round convergence jobs
+    def _dup_clusters() -> None:
+        from vector_spark.datapipe.dedup import dup_clusters
+
+        corpus = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .repartition(cpus)
+        )
+        dup_clusters(corpus, threshold=0.8, max_shingle_df=1000).count()
+
+    bench("dup_clusters", _dup_clusters)
 
     # incremental snapshot ingest: dedup a dup-injected snapshot
     # against the corpus index (exact anti-join + cross-set LSH +

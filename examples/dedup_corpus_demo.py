@@ -49,6 +49,20 @@ def main() -> None:
           f"{stats['rows_in_oversized']}")
 
     pairs = jaccard_pairs(dup, lsh_candidates(sigs), threshold=0.8)
+
+    # duplicate GROUPS via connected components (doc_dup_clusters):
+    # transitive clustering keeps one representative per group, where
+    # kill-higher-id of raw pairs can over-delete chains
+    from vector_spark.datapipe.dedup import connected_components
+
+    comp = connected_components(pairs)
+    groups = comp.groupBy("cluster_id").count()
+    g = groups.agg(
+        F.count(F.lit(1)).alias("n"), F.max("count").alias("largest")
+    ).first()
+    print(f"duplicate groups:                {g['n']} "
+          f"(largest has {g['largest']} members)")
+
     kill = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     # persist: everything below (quality gates, decontamination, the
     # ingest index) reads the accepted corpus several times — in

@@ -24,10 +24,12 @@ def run_at(cpus: int, n_turns: int) -> dict:
     env["SPARK_GRAFT_BENCH_N"] = str(n_turns)
     # SCALE_TARGET=chain runs the reference's own 12-step remap chain
     # (scale_sync_only) instead of the flagship pipeline
-    env["SPARK_GRAFT_BENCH_ONLY"] = (
-        "scale_chain" if os.environ.get("SCALE_TARGET") == "chain"
-        else "pipeline"
-    )
+    # SCALE_TARGET: chain = the reference's own 12-step remap chain;
+    # dedup = the near-dedup + clustering path over template-text docs
+    target = os.environ.get("SCALE_TARGET")
+    env["SPARK_GRAFT_BENCH_ONLY"] = {
+        "chain": "scale_chain", "dedup": "dedup"
+    }.get(target, "pipeline")
     env.setdefault("SPARK_GRAFT_BENCH_ITERS", "3")
     proc = subprocess.run(
         [sys.executable, "bench.py"],
@@ -75,10 +77,9 @@ def main() -> None:
             r_hi.get("loadavg_start"), r_hi.get("loadavg_end")
         ],
     }
-    fname = (
-        "SCALING_CHAIN.json" if os.environ.get("SCALE_TARGET") == "chain"
-        else "SCALING.json"
-    )
+    fname = {
+        "chain": "SCALING_CHAIN.json", "dedup": "SCALING_DEDUP.json"
+    }.get(os.environ.get("SCALE_TARGET"), "SCALING.json")
     out["target"] = os.environ.get("SCALE_TARGET", "pipeline")
     with open(fname, "w") as f:
         json.dump(out, f, indent=2)

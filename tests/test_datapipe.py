@@ -711,3 +711,115 @@ def test_normalize_unicode_canonicalizes_before_hashing(spark):
     assert by_id[3]["norm"] == "CAFE"
     with _pytest.raises(ValueError, match="unknown normalization form"):
         normalize_unicode(F.col("text"), form="NFX")
+
+
+# ---------------------------------------------------------------------------
+# connected components / duplicate clusters
+
+
+def test_connected_components_chain_and_islands(spark):
+    from vector_spark.datapipe.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, exercises multi-round propagation),
+    # island {10, 11}, and a clique {20, 21, 22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    from vector_spark.datapipe.dedup import connected_components
+
+    # 30-node path: worst-case diameter for min-label propagation;
+    # must converge (max_iter default 25 > needed rounds because the
+    # min label travels 1 hop per round from node 0)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], ["id_a", "id_b"]
+    )
+    rows = connected_components(pairs, max_iter=35).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == 30
+
+
+def test_connected_components_beats_kill_higher_id(spark):
+    """The motivating case: A~B, B~C but NOT A~C.  Kill-higher-id
+    deletes B and C (keeps 1 of 3); clustering keeps one rep per
+    GROUP (here: one, since all three are one component) — but the
+    point is the grouping is transitive and explicit."""
+    from vector_spark.datapipe.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    comp = connected_components(pairs)
+    reps = comp.filter(F.col("id") == F.col("cluster_id")).collect()
+    assert [(r["id"], r["cluster_id"]) for r in reps] == [(1, 1)]
+
+
+def test_dup_clusters_groups_planted_duplicates(spark):
+    from vector_spark.datapipe.dedup import dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, base), (2, base), (3, base + "tail tweak"),   # one group
+        (4, "completely different text about spark " * 6),
+        (5, "completely different text about spark " * 6),  # second group
+        (6, "a lone unique document with its own words entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    comp = {r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(df, threshold=0.5).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == comp[5] == 4
+    assert 6 not in comp  # singletons never enter the pair list
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+
+
+def test_sq8_codes_bounded_and_max_hits_127(spark):
+    from vector_spark.datapipe.similarity import sq8_quantize
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = df.select("vec_id", sq8_quantize(F.col("embedding")).alias("q")).collect()
+    q = {r["vec_id"]: r["q"] for r in out}
+    # maxabs element quantizes to ±127; everything within [-127, 127]
+    assert q[1] == [64, -127, 32, 0]  # floor(0.5*127+0.5)=64, floor(0.25*127+0.5)=32
+    assert q[2] == [0, 0, 0, 0]  # zero vector guarded, no div-by-zero
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    from vector_spark.datapipe.similarity import cosine_topk, sq8_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10)
+    approx = sq8_topk(emb, queries, k=10)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # int8 quantization should preserve nearly all of the top-10 set
+    assert len(e & a) / len(e) >= 0.9
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    import pytest as _pytest
+
+    from vector_spark.datapipe.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)

@@ -136,3 +136,18 @@ def test_parse_not_reevaluated_per_field(spark):
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("from_csv") <= 1, "from_csv inlined per field"
     assert optimized.count("from_json") <= 1, "from_json inlined per field"
+
+
+def test_sq8_topk_broadcasts_queries_only(spark):
+    """The SQ8 scan path must broadcast the (tiny) query side and never
+    shuffle the corpus: one BroadcastExchange, no SortMergeJoin, no
+    Exchange other than the final top-k window's."""
+    from vector_spark.datapipe.similarity import sq8_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = sq8_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

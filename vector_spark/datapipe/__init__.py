@@ -10,6 +10,8 @@ multimodal stubs.
 """
 
 from vector_spark.datapipe.dedup import (  # noqa: F401
+    connected_components,
+    dup_clusters,
     exact_dedup,
     jaccard_pairs,
     lsh_candidates,
@@ -17,7 +19,12 @@ from vector_spark.datapipe.dedup import (  # noqa: F401
     shingles,
     simhash,
 )
-from vector_spark.datapipe.similarity import cosine_topk, hyperplane_lsh_buckets  # noqa: F401
+from vector_spark.datapipe.similarity import (  # noqa: F401
+    cosine_topk,
+    hyperplane_lsh_buckets,
+    sq8_quantize,
+    sq8_topk,
+)
 from vector_spark.datapipe.text import (  # noqa: F401
     fingerprint,
     lang_id,

@@ -668,3 +668,116 @@ def decontaminate(
         .agg(F.count_distinct("h").alias("n_contaminated_grams"))
         .filter(F.col("n_contaminated_grams") >= min_overlap)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components over a
+    near-dup pair list — the step real training-data pipelines run
+    AFTER pair generation (a pair list alone over-deletes: kill-higher-
+    id of each pair is not transitive, so A~B, B~C can delete both B
+    and C even though keeping one of them is enough; clustering keeps
+    exactly one representative per duplicate GROUP).
+
+    Algorithm: iterative min-label propagation.  Each node starts
+    labeled with its own id; every round each node takes the min of its
+    own label and its neighbors' labels; at the fixed point every edge
+    has equal labels on both ends, so each component is uniformly
+    labeled with its minimum member id.  Rounds needed = graph
+    diameter, and near-dup graphs are band-collision cliques (diameter
+    1-3 in practice), so 3-4 distributed rounds close real corpora.
+    For adversarially chain-shaped graphs the published escalation is
+    alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) at O(log n) rounds —
+    not needed for dedup workloads.
+
+    Scale shape per round: one shuffle of the symmetrized edge list
+    joined to the (node, label) table + one groupBy(node) min — both
+    keyed on node id, no quadratic term.  ``localCheckpoint`` cuts the
+    growing lineage each round (iterative plans otherwise re-derive
+    every prior round at each action).
+
+    Returns (id, cluster_id) for every node that appears in ``pairs``
+    (singleton docs never enter the pair list; their cluster is
+    themselves by definition).  Raises after ``max_iter`` rounds
+    without convergence rather than returning a partial clustering.
+    """
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("v"), F.col("cluster_id").alias("_vc")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("_vc").alias("_nc"))
+            .select(F.col("u").alias("id"), "_nc")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("_nc", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "pathologically chain-shaped graph; raise max_iter or switch to "
+        "an alternating-star formulation"
+    )
+
+
+def dup_clusters(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 3,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+    max_shingle_df: int | None = None,
+    portable: bool = True,
+) -> DataFrame:
+    """End-to-end duplicate-group extraction: minhash → LSH candidates
+    → exact-jaccard rescore at ``threshold`` → connected components.
+    Returns (id, cluster_id); keep `cluster_id == id` rows (plus all
+    docs absent from the result) for a one-representative-per-group
+    dedup.  ``max_bucket``/``max_shingle_df`` are the two quadratic
+    guards, passed through to the candidate and rescore stages."""
+    sigs = minhash_signatures(df, text_col, id_col, n, portable)
+    cand = lsh_candidates(sigs, id_col, max_bucket=max_bucket)
+    pairs = jaccard_pairs(
+        df, cand, text_col=text_col, id_col=id_col, n=n,
+        threshold=threshold, max_shingle_df=max_shingle_df,
+        portable=portable,
+    )
+    return connected_components(pairs).withColumnRenamed("id", id_col)

@@ -320,3 +320,101 @@ def ann_topk(
         .filter(F.col("_rk") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("_rk").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ8)
+
+#: symmetric int8 range: q in [-127, 127]
+SQ8_LEVELS = 127
+
+
+def sq8_quantize(vec: Column) -> Column:
+    """Per-vector symmetric int8 scalar quantization:
+    ``q_i = floor(x_i / maxabs * 127 + 0.5)`` with maxabs the vector's
+    max |x_i| (clamped away from 0).  floor(x + 0.5) — not round() — so
+    Spark and the DuckDB oracle produce bit-identical integers from
+    identical doubles regardless of either engine's rounding mode.
+
+    Why it matters at 100 TB: an array<float> embedding column is the
+    dominant storage/shuffle cost of a similarity pipeline; int8 codes
+    are 4× smaller on disk, in shuffle, and in executor memory, and the
+    integer dot product is exact (|q|≤127, dim 64 → |Σ| ≤ ~10⁶, far
+    inside int64), so scoring is deterministic across engines too.
+    Quantized cosine idot/(√Σqa²·√Σqb²) is scale-free — the per-vector
+    scale cancels — and empirically preserves cosine ranking (recall
+    gate in tests/test_datapipe.py)."""
+    maxabs = F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30),
+    )
+    return F.transform(
+        vec,
+        lambda x: F.floor(
+            x.cast("double") / maxabs * float(SQ8_LEVELS) + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Exact integer dot product over quantized codes."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq8_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors per query scored on int8-quantized codes — the
+    memory-compressed scan path: the big side is read as 4×-smaller
+    codes and never touches the float column after quantization (on a
+    real deployment the codes are a materialized column; here they are
+    computed inline).  Queries are broadcast; ranking uses the exact
+    (integer) quantized cosine with neighbor-id tie-break, so the
+    result is engine-reproducible (DuckDB oracle recomputes the
+    identical integers).
+
+    Output: (query_id, neighbor_id, iscore, cos_q, rank); ``iscore`` is
+    the raw integer dot product, ``cos_q`` the quantized cosine.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), sq8_quantize(F.col(vec_col)).alias("_qq")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        sq8_quantize(F.col(vec_col)).alias("_vq"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("iscore", _idot(F.col("_qq"), F.col("_vq")))
+        .withColumn(
+            "_cos",
+            F.col("iscore")
+            / (
+                F.sqrt(_idot(F.col("_qq"), F.col("_qq")))
+                * F.sqrt(_idot(F.col("_vq"), F.col("_vq")))
+            ),
+        )
+        .filter(F.col("_cos").isNotNull())
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "iscore",
+            F.round("_cos", 6).alias("cos_q"),
+            F.col("_rk").alias("rank"),
+        )
+    )

@@ -19,6 +19,7 @@ from vector_spark.datapipe.dedup import (
     MINHASH_COEFFS,
     MINHASH_P,
     SIMHASH_BITS,
+    connected_components,
     dedup_incremental,
     exact_dedup,
     jaccard_pairs,
@@ -201,6 +202,49 @@ def q_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surviving.agg(
         F.count(F.lit(1)).alias("n_surviving"),
         F.sum("doc_id").alias("survivors_checksum"),
+    )
+
+
+@register(
+    "doc_dup_clusters",
+    # WITH RECURSIVE prefixes the WHOLE CTE list (Postgres/DuckDB
+    # semantics: non-recursive members are unaffected); only `reach`
+    # recurses.  UNION (not UNION ALL) dedups (id, root) rows, so the
+    # closure terminates.
+    _DUP_CTE.replace("WITH dup", "WITH RECURSIVE dup", 1)
+    + _SHINGLE_CTE + _sig_sql() + _bands_sql() + _CAND_SQL + _JACCARD_SQL
+    + """,
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM scored WHERE jaccard >= 0.8
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM scored WHERE jaccard >= 0.8
+),
+reach AS (
+  SELECT DISTINCT u AS id, u AS root FROM edges
+  UNION
+  SELECT e.v AS id, r.root FROM reach r JOIN edges e ON e.u = r.id
+),
+comps AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(id) AS BIGINT) AS members_checksum
+FROM comps GROUP BY cluster_id""",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS, not just pairs: minhash → LSH → exact-jaccard
+    rescore ≥ 0.8 → connected components (iterative min-label
+    propagation, datapipe/dedup.py) → one row per cluster.  The oracle
+    computes the same components as a recursive-CTE transitive closure,
+    so the clustering itself — not only the pair list — is under the
+    hash gate."""
+    dup = _dup_df(spark, sf_dir)
+    sigs = minhash_signatures(dup)
+    cand = lsh_candidates(sigs, max_bucket=None)  # uncapped: see q_minhash_lsh
+    pairs = jaccard_pairs(dup, cand, threshold=0.8)
+    comp = connected_components(pairs)
+    return comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("id").alias("members_checksum"),
     )
 
 
@@ -484,6 +528,46 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_lists=8, n_probe=6)
 
 
+# int8 scalar quantization: floor(x/maxabs*127 + 0.5) — floor(+0.5), not
+# round(), so both engines produce bit-identical codes from identical
+# doubles; the integer dot product is then exact in both.
+_SQ8 = (
+    "list_transform(embedding::DOUBLE[], x -> floor(x / "
+    "greatest(list_aggregate(list_transform(embedding::DOUBLE[], "
+    "y -> abs(y)), 'max'), 1e-30) * 127.0 + 0.5))"
+)
+
+
+@register(
+    "emb_sq8_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, {_SQ8} AS qq FROM embeddings WHERE vec_id < 5),
+v AS (SELECT vec_id AS neighbor_id, {_SQ8} AS vq FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_dot_product(qq, vq) AS BIGINT) AS iscore,
+         list_dot_product(qq, vq) /
+           (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(vq, vq))) AS c
+  FROM v CROSS JOIN q WHERE neighbor_id <> query_id
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, iscore, round(c, 6) AS cos_q, rank FROM r WHERE rank <= 10""",
+)
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k on int8-quantized codes (4× smaller scan/shuffle footprint
+    at 100 TB); the quantization arithmetic and the integer dot product
+    are engine-exact, so this approximate-by-construction path still
+    carries a full value-hash oracle."""
+    from vector_spark.datapipe.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sq8_topk(emb, queries, k=10)
+
+
 # near-dup pairs: the corpus is augmented with deterministic perturbed
 # clones (every 10th vector, elements scaled by 0.99/1.0/1.01 cyclically
 # → cos ~0.9999 vs source) because the raw synthetic embeddings contain
@@ -630,6 +714,62 @@ def q_emb_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surviving.agg(
         F.count(F.lit(1)).alias("n_surviving"),
         F.sum("vec_id").alias("survivors_checksum"),
+    )
+
+
+@register(
+    "emb_dup_clusters",
+    # WITH RECURSIVE prefixes the whole CTE list; only `reach` recurses
+    _AUG_SQL.replace("WITH aug", "WITH RECURSIVE aug", 1) + _buckets_sql()
+    + """,
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+),
+s AS (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(va.e, vb.e) /
+               (sqrt(list_dot_product(va.e, va.e)) *
+                sqrt(list_dot_product(vb.e, vb.e))), 6) AS cos
+  FROM cand c
+  JOIN aug va ON va.vec_id = c.id_a
+  JOIN aug vb ON vb.vec_id = c.id_b
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM s WHERE cos >= 0.9
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM s WHERE cos >= 0.9
+),
+reach AS (
+  SELECT DISTINCT u AS id, u AS root FROM edges
+  UNION
+  SELECT e.v AS id, r.root FROM reach r JOIN edges e ON e.u = r.id
+),
+comps AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(id) AS BIGINT) AS members_checksum
+FROM comps GROUP BY cluster_id""",
+)
+def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic duplicate GROUPS: hyperplane-LSH
+    candidates → exact cosine rescore ≥ 0.9 → connected components —
+    the embedding-space twin of doc_dup_clusters, sharing the same
+    clustering operator (datapipe/dedup.py:connected_components)."""
+    from vector_spark.datapipe.similarity import near_dup_pairs
+
+    pairs = near_dup_pairs(
+        _aug_emb(spark, sf_dir),
+        threshold=0.9,
+        n_planes=_NEAR_DUP_PLANES,
+        n_tables=_NEAR_DUP_TABLES,
+        dim=_EMB_DIM,
+    )
+    comp = connected_components(pairs)
+    return comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("id").alias("members_checksum"),
     )
 
 

@@ -47,15 +47,20 @@ _PRIORITY: list[str] = [
     # (route_sink_tools demoted with the other per-sink variants: the
     # errors sink + unmatched + counts keep the operator in-window;
     # its slot goes to doc_incremental_dedup)
+    # (route_counts demoted in the r3 continuation: errors sink +
+    # unmatched + exclusive counts keep route/filter in-window; its
+    # slot goes to doc_dup_clusters)
     "route_sink_errors", "route_unmatched",
-    "route_counts", "exclusive_route_counts",
+    "exclusive_route_counts",
     # aggregate / pipeline (pipeline_fused_agg demoted: near-duplicate
     # of pipeline_stats; its slot goes to doc_sequence_packing)
     "aggregate_errors_1m", "aggregate_by_role_diff",
     "pipeline_stats",
     # reduce / sessions (ends_when variant demoted: three other
-    # reduce gates stay in-window)
-    "reduce_conversations", "sessionize_counts", "reduce_sessions",
+    # reduce gates stay in-window; sessionize_counts demoted in the r3
+    # continuation — reduce_sessions covers session semantics; its
+    # slot goes to emb_sq8_topk)
+    "reduce_conversations", "reduce_sessions",
     # conditions / remap / scale chain
     "datadog_search_counts", "datadog_tags_facets", "redact_pii",
     "remap_program", "scale_chain_rows", "multiline_records",
@@ -70,10 +75,10 @@ _PRIORITY: list[str] = [
     "grok_apache_combined", "octet_framed_syslog",
     # LLM-datapipe suite (fell outside the r2 window; must be inside)
     "doc_exact_dedup", "doc_minhash_signatures", "doc_minhash_lsh_pairs",
-    "doc_near_dedup_corpus", "doc_incremental_dedup", "doc_simhash",
-    "doc_text_analysis",
+    "doc_near_dedup_corpus", "doc_dup_clusters", "doc_incremental_dedup",
+    "doc_simhash", "doc_text_analysis",
     "emb_cosine_topk", "emb_ann_topk", "emb_ivf_topk",
-    "emb_near_dup_pairs",
+    "emb_near_dup_pairs", "emb_sq8_topk",
     # r3-continuation training-data ops (first-class per the brief)
     "doc_repetition", "doc_gopher_quality", "doc_decontamination",
     "doc_line_dedup_global", "doc_sequence_packing",
