@@ -823,3 +823,117 @@ def test_connected_components_raises_past_max_iter(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=2)
+
+
+# ---------------------------------------------------------------------------
+# training-mix sampling: temperature rebalancing + token quotas
+
+
+def test_temperature_rates_uniform_groups_keep_target_frac(spark):
+    from vector_spark.datapipe.sampling import temperature_rates
+
+    # equal-size groups: every group's keep rate must equal target_frac
+    # regardless of alpha (w_i/Σw = 1/G exactly)
+    rows = [(i, f"g{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "g"])
+    for alpha in (0.0, 0.5, 1.0):
+        rates = temperature_rates(df, "g", alpha=alpha, target_frac=0.6)
+        assert {r["keep_thr"] for r in rates.collect()} == {600}
+
+
+def test_temperature_rates_flatten_dominant_group(spark):
+    from vector_spark.datapipe.sampling import temperature_rates
+
+    # 900 vs 100 rows: alpha=1 keeps natural proportions (both thr =
+    # target); alpha=0 aims at equal row counts per group (rare group
+    # saturates at keep-all); alpha=0.5 sits between
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "g"])
+    thr = lambda a: {
+        r["g"]: r["keep_thr"]
+        for r in temperature_rates(df, "g", alpha=a, target_frac=0.5).collect()
+    }
+    t1 = thr(1.0)
+    assert t1["big"] == t1["small"] == 500
+    t0 = thr(0.0)
+    assert t0["small"] == 1000  # capped at keep-all
+    assert t0["big"] == round(250 / 900 * 1000)  # 250 target rows
+    th = thr(0.5)
+    assert t0["big"] < th["big"] < t1["big"]
+    assert th["small"] > th["big"]
+
+
+def test_temperature_mix_is_deterministic_subset(spark):
+    from vector_spark.datapipe.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {r["doc_id"] for r in
+         temperature_mix(docs, "lang").select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         temperature_mix(docs, "lang").select("doc_id").collect()}
+    assert a == b and a  # same docs every run
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert a <= all_ids
+
+
+def test_temperature_mix_broadcasts_rates(spark):
+    from vector_spark.datapipe.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        temperature_mix(docs, "lang")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quota_sample_exact_budget_and_straddle(spark):
+    from vector_spark.datapipe.sampling import quota_sample
+
+    # every doc 5 tokens, budget 11 → offsets 0,5,10 pass (<11), the
+    # third doc straddles; exactly 3 docs / 15 tokens kept per group
+    rows = [(i, "x", f"g{i % 2}", 5) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "g", "nt"])
+    kept = quota_sample(df, group_col="g", budget=11, token_col="nt")
+    got = kept.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t"),
+        F.max("token_offset").alias("mo"),
+    ).collect()
+    assert len(got) == 2
+    for r in got:
+        assert (r["n"], r["t"], r["mo"]) == (3, 15, 10)
+
+
+def test_quota_sample_bucketing_is_invisible(spark):
+    from vector_spark.datapipe.sampling import quota_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pick = lambda bits: sorted(
+        (r["doc_id"], r["token_offset"])
+        for r in quota_sample(
+            docs, group_col="lang", budget=500, n_bucket_bits=bits
+        ).collect()
+    )
+    assert pick(1) == pick(6)  # 2 buckets vs 64: same result
+
+
+def test_quota_sample_null_group_excluded(spark):
+    from vector_spark.datapipe.sampling import quota_sample
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "g"), (2, "d e f", None)], ["doc_id", "text", "g"]
+    )
+    kept = quota_sample(df, group_col="g", budget=100)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_quota_sample_no_global_window(spark):
+    """The per-group prefix sum must never funnel a group through a
+    single partition: no Exchange SinglePartition in the plan."""
+    from vector_spark.datapipe.sampling import quota_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kept = quota_sample(docs, group_col="lang", budget=500)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan

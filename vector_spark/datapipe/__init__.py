@@ -19,6 +19,11 @@ from vector_spark.datapipe.dedup import (  # noqa: F401
     shingles,
     simhash,
 )
+from vector_spark.datapipe.sampling import (  # noqa: F401
+    quota_sample,
+    temperature_mix,
+    temperature_rates,
+)
 from vector_spark.datapipe.similarity import (  # noqa: F401
     cosine_topk,
     hyperplane_lsh_buckets,

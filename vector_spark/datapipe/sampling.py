@@ -1,0 +1,185 @@
+"""Training-mix sampling: temperature-rebalanced source mixing and
+per-group token-budget quota sampling — the two rate-control ops a
+training-data pipeline runs after filtering/dedup to shape the final
+mix (cf. the sampling-temperature mixes of multilingual pretraining
+and per-domain token budgets of curated corpora).
+
+Both are DETERMINISTIC: keep decisions hash on the doc id (the
+portable md5-prefix hash the DuckDB oracle can recompute), so the
+sample is reproducible across runs, engines, partitionings, and
+cluster sizes — the property that makes a 100 TB sampling job
+resumable and auditable.
+
+Scale design:
+- ``temperature_mix``: per-group keep rates come from one tiny
+  groupBy (one row per group) crossJoined against a one-row total —
+  broadcast back; the corpus side is a single narrow filter, no
+  shuffle of the big side at all.
+- ``quota_sample`` needs an ORDERED prefix sum within each group
+  (keep docs in hash order until the token budget fills).  A plain
+  window ``partitionBy(group)`` would pull an entire group — billions
+  of rows for a dominant language — through ONE task, so the prefix
+  sum is two-phase like :mod:`vector_spark.datapipe.packing`: the
+  order key IS the hash, so deterministic hash-RANGE buckets
+  subdivide each group; per-(group, bucket) totals collect to the
+  driver (bounded: groups × n_buckets rows), exclusive bucket offsets
+  broadcast back, and the cumsum window partitions by
+  (group, bucket) — parallel across buckets, never a whole group in
+  one task.  The result depends only on (hash order, token counts),
+  never on bucketing, so a plain global-window DuckDB oracle
+  reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from vector_spark.datapipe.dedup import portable_hash60
+from vector_spark.datapipe.text import token_count
+
+#: keep-rate granularity for temperature_mix: thresholds are
+#: round(p * 1000) against hash % 1000 — coarse enough that an
+#: ulp-level float divergence between engines cannot flip a threshold
+TEMP_GRANULARITY = 1000
+
+#: hash-range buckets for the quota prefix sum (2^60 hash space / 2^54)
+QUOTA_BUCKET_SHIFT = 54
+
+
+def _id_hash(id_col: str) -> Column:
+    return portable_hash60(F.col(id_col).cast("string"))
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    *,
+    alpha: float = 0.5,
+    target_frac: float = 0.6,
+) -> DataFrame:
+    """Per-group keep thresholds for :func:`temperature_mix`:
+    ``w_i ∝ n_i^alpha`` (alpha < 1 flattens the mix toward uniform,
+    alpha = 1 keeps natural proportions), group i's target row count
+    is ``w_i / Σw · target_frac · N`` capped at ``n_i`` (a filter
+    cannot upsample — rare groups saturate at keep-all, which is
+    exactly the intended temperature behavior), and the keep
+    probability ``p_i = target_i / n_i`` becomes an integer threshold
+    ``round(p_i · 1000)``.  One tiny aggregate (a row per group) — the
+    corpus is not touched beyond the count."""
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    # the totals are an unpartitioned window over the COUNTS frame —
+    # one row per group, so the single-partition window is trivial
+    # (never over the corpus itself)
+    everything = W.partitionBy()
+    w_i = F.pow("_n", F.lit(alpha))
+    p = F.least(
+        F.lit(1.0),
+        w_i / F.sum(w_i).over(everything)
+        * F.lit(target_frac) * F.sum("_n").over(everything) / F.col("_n"),
+    )
+    return counts.select(
+        group_col,
+        F.col("_n").cast("long").alias("group_rows"),
+        F.round(p * TEMP_GRANULARITY, 0).cast("long").alias("keep_thr"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    *,
+    alpha: float = 0.5,
+    target_frac: float = 0.6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-rebalanced downsampling: keep each row of group i
+    iff ``hash(id) % 1000 < keep_thr_i``.  Hash-consistent (same doc →
+    same decision on every run/engine/cluster size) and a single
+    narrow filter over the corpus after a broadcast join of the tiny
+    rates table — the 100 TB side never shuffles."""
+    rates = temperature_rates(
+        df, group_col, alpha=alpha, target_frac=target_frac
+    ).select(group_col, "keep_thr")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(F.pmod(_id_hash(id_col), F.lit(TEMP_GRANULARITY)) < F.col("keep_thr"))
+        .drop("keep_thr")
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    *,
+    group_col: str = "lang",
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    n_bucket_bits: int = 6,
+) -> DataFrame:
+    """Per-group token-budget sampling: within each group, visit docs
+    in portable-hash order (a deterministic shuffle — no temporal or
+    positional bias) and keep while the EXCLUSIVE token prefix sum is
+    under ``budget`` (every non-empty group keeps at least one doc;
+    the last kept doc may straddle the budget, standard quota
+    semantics).  Returns the kept rows plus ``n_tokens`` and
+    ``token_offset`` (the doc's first-token position in its group's
+    budget).
+
+    Two-phase prefix sum over hash-range buckets — see the module
+    docstring for why ``partitionBy(group)`` alone would serialize a
+    dominant group through one task.  ``token_col`` supplies real
+    tokenizer counts; the default is the whitespace count over
+    normalized text.  Rows with a NULL group are excluded (no budget
+    to charge them against) — pre-bucket them explicitly if needed.
+    """
+    toks: Column = (
+        token_count(F.col(text_col)) if token_col is None
+        else F.col(token_col)
+    )
+    h = _id_hash(id_col)
+    shift = QUOTA_BUCKET_SHIFT + (6 - n_bucket_bits)
+    d = df.withColumns(
+        {
+            "_h": h,
+            "_b": F.shiftright(h, shift),
+            "n_tokens": F.coalesce(toks.cast("long"), F.lit(0)),
+        }
+    )
+
+    totals = (
+        d.groupBy(group_col, "_b")
+        .agg(F.sum("n_tokens").alias("_t"))
+        .collect()
+    )
+    by_group: dict = {}
+    for r in totals:
+        by_group.setdefault(r[group_col], []).append((r["_b"], r["_t"]))
+    offsets = []
+    for g, rows in by_group.items():
+        running = 0
+        for b, t in sorted(rows):
+            offsets.append((g, b, running))
+            running += t
+    if not offsets:
+        return d.filter(F.lit(False)).drop("_h", "_b").withColumn(
+            "token_offset", F.lit(None).cast("long")
+        )
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, [group_col, "_b", "_off"])
+        .withColumn("_b", F.col("_b").cast("long"))
+        .withColumn("_off", F.col("_off").cast("long"))
+    )
+
+    w = W.partitionBy(group_col, "_b").orderBy("_h", id_col)
+    return (
+        d.join(off, [group_col, "_b"])
+        .withColumn("_run", F.sum("n_tokens").over(w))
+        .withColumn(
+            "token_offset", F.col("_off") + F.col("_run") - F.col("n_tokens")
+        )
+        .filter(F.col("token_offset") < budget)
+        .drop("_h", "_b", "_off", "_run")
+    )

@@ -1025,3 +1025,87 @@ def q_doc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality"), 6).alias("avg_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# training-mix sampling: temperature rebalancing + token-budget quotas
+
+# keep-threshold table the mix oracle shares with datapipe/sampling.py:
+# w_i = n_i^0.5, target_i = w_i/Σw · 0.6·N capped at n_i, thr = round(p·1000)
+_TEMP_RATES_SQL = """
+c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+t AS (SELECT sum(n) AS tot_n, sum(pow(n, 0.5)) AS tot_w FROM c),
+r AS (
+  SELECT lang,
+         CAST(round(least(1.0, pow(n, 0.5) / tot_w * 0.6 * tot_n / n) * 1000, 0)
+              AS BIGINT) AS thr
+  FROM c CROSS JOIN t
+)"""
+
+
+@register(
+    "doc_temperature_mix",
+    f"""
+WITH {_TEMP_RATES_SQL.lstrip()},
+k AS (
+  SELECT d.lang, d.doc_id
+  FROM documents d JOIN r USING (lang)
+  WHERE {_H60.format(e='CAST(doc_id AS VARCHAR)')} % 1000 < thr
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS ids_checksum
+FROM k GROUP BY lang""",
+)
+def q_doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced training mix (alpha = 0.5, 60% of the
+    corpus): per-language keep rates ∝ n^alpha flatten the dominant
+    language's share; each doc's keep decision hashes on its id, so
+    the sampled corpus is identical on every run/engine/cluster size.
+    The big side never shuffles — one tiny rates aggregate broadcast
+    back (datapipe/sampling.py:temperature_mix)."""
+    from vector_spark.datapipe.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = temperature_mix(docs, "lang", alpha=0.5, target_frac=0.6)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("ids_checksum"),
+    )
+
+
+@register(
+    "doc_quota_sample",
+    f"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens,
+         {_H60.format(e='CAST(doc_id AS VARCHAR)')} AS h
+  FROM documents
+),
+p AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+      PARTITION BY lang ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+  FROM tk
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS ids_checksum
+FROM p WHERE token_offset < 2500 GROUP BY lang""",
+)
+def q_doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget quota (2500 tokens/language): docs are
+    visited in portable-hash order (deterministic shuffle) and kept
+    while the exclusive token prefix sum is under budget.  The prefix
+    sum is the two-phase bucketed scan (datapipe/sampling.py) — never a
+    whole language through one task — while the oracle is a plain
+    global window, proving the bucketing is invisible in the result."""
+    from vector_spark.datapipe.sampling import quota_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = quota_sample(docs, group_col="lang", budget=2500)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.sum("doc_id").alias("ids_checksum"),
+    )

@@ -66,10 +66,15 @@ _PRIORITY: list[str] = [
     "remap_program", "scale_chain_rows", "multiline_records",
     # per-operator semantics (sample_group_consistent demoted:
     # sample_mod_1in7 keeps the operator in-window)
-    "dedupe_first_wins", "latest_status_by_service", "sample_mod_1in7",
+    # (latest_status_by_service + metric_to_log_roundtrip demoted in
+    # the r3 continuation: the aggregate family stays repped by
+    # errors_1m/by_role_diff and the metric family by
+    # log_to_metric_agg/incremental_to_absolute; their slots go to
+    # doc_temperature_mix + doc_quota_sample)
+    "dedupe_first_wins", "sample_mod_1in7",
     "throttle_5_per_10m",
     "context_window_errors", "log_to_metric_agg",
-    "metric_to_log_roundtrip", "incremental_to_absolute",
+    "incremental_to_absolute",
     "tag_cardinality_limit_3", "ddsketch_quantiles",
     # round-3 breadth: grok base patterns + framing
     "grok_apache_combined", "octet_framed_syslog",
@@ -82,6 +87,7 @@ _PRIORITY: list[str] = [
     # r3-continuation training-data ops (first-class per the brief)
     "doc_repetition", "doc_gopher_quality", "doc_decontamination",
     "doc_line_dedup_global", "doc_sequence_packing",
+    "doc_temperature_mix", "doc_quota_sample",
 ]
 
 
