@@ -937,3 +937,118 @@ def test_quota_sample_no_global_window(spark):
     kept = quota_sample(docs, group_col="lang", budget=500)
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# deterministic splits + corpus boilerplate
+
+
+def test_hash_split_fractions_and_determinism(spark):
+    from vector_spark.datapipe.sampling import hash_split
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / n - 0.8) < 0.05
+    # same assignment on a second evaluation
+    again = {r["split"]: r["n"] for r in
+             hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+             .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == again
+
+
+def test_hash_split_group_is_leak_free(spark):
+    from vector_spark.datapipe.sampling import hash_split
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = hash_split(docs, {"a": 0.5, "b": 0.5}, group_col="source")
+    per_group = out.groupBy("source").agg(
+        F.countDistinct("split").alias("k")
+    ).collect()
+    assert per_group and all(r["k"] == 1 for r in per_group)
+
+
+def test_hash_split_salt_changes_assignment_and_validates(spark):
+    import pytest as _pytest
+    from vector_spark.datapipe.sampling import hash_split
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    a = {r["doc_id"]: r["split"]
+         for r in hash_split(docs, {"x": 0.5, "y": 0.5}).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(docs, {"x": 0.5, "y": 0.5}, salt="v2").collect()}
+    assert a != b
+    with _pytest.raises(ValueError):
+        hash_split(docs, {})
+    with _pytest.raises(ValueError):
+        hash_split(docs, {"x": -1.0, "y": 2.0})
+    with _pytest.raises(ValueError):
+        hash_split(docs, {"x": 0.0})
+
+
+def test_hash_split_is_narrow(spark):
+    from vector_spark.datapipe.sampling import hash_split
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        hash_split(docs, {"train": 0.9, "test": 0.1})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure map over the scan
+
+
+def test_boilerplate_metrics_hand_case(spark):
+    from vector_spark.datapipe.text import boilerplate_metrics
+
+    # 10 identical 5-word docs (one gram each, df=10/13 > 1%), two
+    # unique long docs, one doc too short for any 5-gram
+    rows = (
+        [(i, "the cat sat on mat") for i in range(10)]
+        + [(20, "alpha beta gamma delta epsilon zeta eta"),
+           (21, "one two three four five six seven eight"),
+           (22, "too short")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           boilerplate_metrics(df, n=5, min_doc_frac=0.5, flag_frac=0.3)
+           .collect()}
+    assert len(got) == 13
+    for i in range(10):
+        r = got[i]
+        assert (r["n_grams"], r["boiler_hits"], r["boiler_frac"],
+                r["is_boilerplate"]) == (1, 1, 1.0, True)
+    for i in (20, 21):
+        assert got[i]["boiler_hits"] == 0 and not got[i]["is_boilerplate"]
+    assert got[22]["n_grams"] == 0 and got[22]["boiler_frac"] == 0.0
+    assert not got[22]["is_boilerplate"]
+
+
+def test_boilerplate_flag_boundary_is_exact(spark):
+    from vector_spark.datapipe.text import boilerplate_metrics
+
+    # doc with 10 grams of which exactly 3 are frequent: 3/10 is NOT
+    # > 0.3 (integer compare 3*10 > 10*3 is false) — no float fuzz
+    common = "the cat sat on mat"
+    filler = "u1 u2 u3 u4 u5 u6 u7"  # unique tail → 7 more words
+    rows = [(i, common) for i in range(50)] + [(99, f"{common} {filler} x9")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = {x["doc_id"]: x for x in
+         boilerplate_metrics(df, n=5, min_doc_frac=0.5, flag_frac=0.3)
+         .collect()}[99]
+    assert r["n_grams"] == 9 and r["boiler_hits"] == 1
+    assert not r["is_boilerplate"]
+
+
+def test_boilerplate_broadcasts_frequent_set(spark):
+    from vector_spark.datapipe.text import boilerplate_metrics
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        boilerplate_metrics(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -20,6 +20,7 @@ from vector_spark.datapipe.dedup import (  # noqa: F401
     simhash,
 )
 from vector_spark.datapipe.sampling import (  # noqa: F401
+    hash_split,
     quota_sample,
     temperature_mix,
     temperature_rates,
@@ -31,7 +32,9 @@ from vector_spark.datapipe.similarity import (  # noqa: F401
     sq8_topk,
 )
 from vector_spark.datapipe.text import (  # noqa: F401
+    boilerplate_metrics,
     fingerprint,
+    frequent_ngram_hashes,
     lang_id,
     quality_score,
     token_count,

@@ -109,6 +109,55 @@ def temperature_mix(
     )
 
 
+#: split granularity: 1e-6 fraction resolution
+SPLIT_GRANULARITY = 1_000_000
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets the
+    split whose cumulative weight bracket contains
+    ``hash(salt:unit) % 1e6``.  With ``group_col`` the hash unit is
+    the GROUP (all docs of a conversation/domain land in the same
+    split — the leak-free discipline when near-duplicates cluster
+    within groups); otherwise the row id.  Purely narrow (a map over
+    the scan, zero shuffles, nothing collected), so it costs one
+    column at 100 TB; hashing on content ids, not partition position,
+    makes the assignment stable under repartitioning, resumable
+    re-runs, and engine swaps.  ``salt`` namespaces independent
+    re-splits of the same corpus."""
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative with at least one entry")
+    tot = float(sum(weights.values()))
+    if tot <= 0:
+        raise ValueError("weights must sum to a positive value")
+    names = list(weights)
+    # integer cumulative thresholds; the last is forced to the full
+    # granularity so rounding never leaves an unassigned sliver
+    cum, thr = 0.0, []
+    for name in names:
+        cum += weights[name] / tot
+        thr.append(round(cum * SPLIT_GRANULARITY))
+    thr[-1] = SPLIT_GRANULARITY
+
+    unit = F.col(group_col) if group_col else F.col(id_col)
+    h = F.pmod(
+        portable_hash60(F.concat_ws(":", F.lit(salt), unit.cast("string"))),
+        F.lit(SPLIT_GRANULARITY),
+    )
+    expr = F.lit(names[-1])
+    for name, t in list(zip(names, thr))[-2::-1]:
+        expr = F.when(h < t, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 def quota_sample(
     df: DataFrame,
     *,

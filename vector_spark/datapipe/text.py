@@ -298,3 +298,105 @@ def gopher_quality_flags(
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level boilerplate detection (cross-doc frequent n-grams)
+
+
+def frequent_ngram_hashes(
+    df: DataFrame,
+    *,
+    n: int = 5,
+    min_doc_frac: float = 0.01,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashes of word ``n``-grams whose DOCUMENT frequency is at least
+    ``min_doc_frac`` of the corpus — headers, footers, cookie banners,
+    license blurbs: the cross-doc repetition that within-doc metrics
+    (:func:`repetition_metrics`) cannot see.
+
+    Returns (gram_h, doc_freq).  Grams are reduced to the portable
+    60-bit hash mod 2^31-1 BEFORE the frequency groupBy, so the
+    corpus-wide shuffle moves 8-byte keys, never gram strings; the
+    document-count threshold is a one-row count aggregate broadcast
+    in (no driver action — the plan stays lazy).  The result is the
+    head of a Zipf distribution — tiny, broadcastable."""
+    from vector_spark.datapipe.dedup import HASH_MOD, portable_hash60
+
+    grams = _doc_ngrams(df, text_col, id_col, n).select(
+        id_col, (portable_hash60(F.col("gram")) % HASH_MOD).alias("gram_h")
+    )
+    freq = grams.distinct().groupBy("gram_h").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    total = df.select(F.count(F.lit(1)).alias("_n_docs"))
+    return (
+        freq.join(F.broadcast(total))
+        .filter(F.col("doc_freq") >= F.ceil(F.lit(min_doc_frac) * F.col("_n_docs")))
+        .drop("_n_docs")
+    )
+
+
+def boilerplate_metrics(
+    df: DataFrame,
+    *,
+    n: int = 5,
+    min_doc_frac: float = 0.01,
+    flag_frac: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc boilerplate coverage: the fraction of the doc's n-gram
+    positions covered by corpus-frequent n-grams, plus an
+    ``is_boilerplate`` flag at ``flag_frac`` coverage (compared as
+    integers — ``hits * q > n_grams * p`` — so the flag cannot drift
+    across engines/float orders).
+
+    Output: (id, n_grams, boiler_hits, boiler_frac, is_boilerplate),
+    one row per input doc; docs with no n-grams score 0 / unflagged.
+
+    Scale shape: the frequent set (Zipf head) broadcasts; hit counting
+    inner-joins the exploded grams to it FIRST, so only matching
+    positions reach the per-doc groupBy — the corpus-sized explosion
+    is never shuffled.  Total positions come straight from the doc row
+    (``greatest(n_words - n + 1, 0)``), not from aggregating the
+    explosion."""
+    from fractions import Fraction
+
+    from vector_spark.datapipe.dedup import HASH_MOD, portable_hash60
+
+    fr = Fraction(flag_frac).limit_denominator(10**6)
+    freq = frequent_ngram_hashes(
+        df, n=n, min_doc_frac=min_doc_frac, text_col=text_col, id_col=id_col
+    ).select("gram_h")
+    hits = (
+        _doc_ngrams(df, text_col, id_col, n)
+        .select(id_col, (portable_hash60(F.col("gram")) % HASH_MOD).alias("gram_h"))
+        .join(F.broadcast(freq), "gram_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("boiler_hits"))
+    )
+    n_grams = F.greatest(
+        F.size(words(F.col(text_col))) - (n - 1), F.lit(0)
+    ).cast("long")
+    return (
+        df.select(F.col(id_col), n_grams.alias("n_grams"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("boiler_hits", F.lit(0)).cast("long").alias("boiler_hits"),
+            F.round(
+                F.when(F.col("n_grams") > 0,
+                       F.coalesce("boiler_hits", F.lit(0)) / F.col("n_grams"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("boiler_frac"),
+            (
+                F.coalesce("boiler_hits", F.lit(0)) * fr.denominator
+                > F.col("n_grams") * fr.numerator
+            ).alias("is_boilerplate"),
+        )
+    )

@@ -1109,3 +1109,90 @@ def q_doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("kept_tokens"),
         F.sum("doc_id").alias("ids_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split + corpus boilerplate detection
+
+
+@register(
+    "doc_train_split",
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         {_H60.format(e="concat('split', ':', CAST(doc_id AS VARCHAR))")}
+           % 1000000 AS h
+  FROM documents
+)
+SELECT CASE WHEN h < 980000 THEN 'train'
+            WHEN h < 990000 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS ids_checksum
+FROM s GROUP BY 1""",
+)
+def q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leak-free 98/1/1 split: assignment hashes on the
+    doc id (with `group_col=` whole conversations/domains move
+    together), so the split survives repartitioning, re-runs, and
+    engine swaps — zero shuffles added
+    (datapipe/sampling.py:hash_split)."""
+    from vector_spark.datapipe.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hash_split(docs, {"train": 0.98, "val": 0.01, "test": 0.01})
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("ids_checksum"),
+    )
+
+
+@register(
+    "doc_boilerplate",
+    f"""
+WITH norm AS (SELECT doc_id, source, {_NORM} AS t FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+g AS ({_grams_sql(5, 'w')}),
+gh AS (SELECT doc_id, source, {_H60.format(e='gram')} % {HASH_MOD} AS h FROM g),
+freq AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS dfreq FROM gh GROUP BY h)
+  WHERE dfreq >= ceil(0.01 * (SELECT count(*) FROM documents))
+),
+hits AS (
+  SELECT doc_id, count(*) AS bh FROM gh JOIN freq USING (h) GROUP BY doc_id
+),
+d AS (
+  SELECT doc_id, source,
+         greatest(len(string_split(t, ' ')) - 4, 0) AS ng
+  FROM norm
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ng) AS BIGINT) AS total_grams,
+       CAST(sum(coalesce(bh, 0)) AS BIGINT) AS boiler_hits,
+       CAST(sum(CASE WHEN coalesce(bh, 0) * 10 > ng * 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged
+FROM d LEFT JOIN hits USING (doc_id)
+GROUP BY source""",
+)
+def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate report per source: 5-grams shared by
+    ≥1% of documents (headers/footers/banners — cross-doc repetition
+    the within-doc Gopher metrics cannot see) and how much of each
+    source they cover.  The frequent set is a broadcast Zipf head;
+    only matching gram positions are ever shuffled
+    (datapipe/text.py:boilerplate_metrics)."""
+    from vector_spark.datapipe.text import boilerplate_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = boilerplate_metrics(docs, n=5, min_doc_frac=0.01, flag_frac=0.3)
+    return (
+        m.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("boiler_hits").alias("boiler_hits"),
+            F.sum(F.col("is_boilerplate").cast("long")).alias("n_flagged"),
+        )
+    )
