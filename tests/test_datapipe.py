@@ -1052,3 +1052,106 @@ def test_boilerplate_broadcasts_frequent_set(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity scoring + bucketing
+
+
+def test_unigram_lm_and_scores_hand_case(spark):
+    import math
+
+    from vector_spark.datapipe.lm import perplexity_scores, unigram_lm
+
+    ref = spark.createDataFrame([(0, "a a b")], ["doc_id", "text"])
+    lm = unigram_lm(ref, alpha=0.5)
+    # T=3 tokens, V=2 types, denom = 3 + 0.5*(2+1) = 4.5
+    got = {r["token_h"]: r["logp"] for r in lm.collect()}
+    assert len(got) == 3 and None in got
+    assert math.isclose(got[None], math.log(0.5 / 4.5))
+    assert sorted(v for k, v in got.items() if k is not None) == sorted(
+        [math.log(2.5 / 4.5), math.log(1.5 / 4.5)]
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, None)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in perplexity_scores(df, lm).collect()}
+    exp = -(
+        math.log(2.5 / 4.5) + math.log(1.5 / 4.5) + math.log(0.5 / 4.5)
+    ) / 3
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["nll_milli"] == round(exp * 1000)
+    for i in (2, 3):  # empty and NULL text: nothing to score
+        assert rows[i]["n_tokens"] == 0 and rows[i]["nll_milli"] is None
+
+
+def test_ccnet_buckets_hand_case_and_ties(spark):
+    import pytest as _pytest
+    from vector_spark.datapipe.lm import ccnet_buckets
+
+    df = spark.createDataFrame(
+        [(i, "g", i) for i in range(1, 10)], ["doc_id", "g", "nll_milli"]
+    )
+    got = {r["doc_id"]: r["bucket"] for r in
+           ccnet_buckets(df, group_col="g").collect()}
+    assert all(got[i] == "head" for i in (1, 2, 3))
+    assert all(got[i] == "middle" for i in (4, 5, 6))
+    assert all(got[i] == "tail" for i in (7, 8, 9))
+
+    # every score identical → the tie rule sends ALL rows to head
+    ties = spark.createDataFrame(
+        [(i, "g", 7) for i in range(4)], ["doc_id", "g", "nll_milli"]
+    )
+    assert {r["bucket"] for r in ccnet_buckets(ties, group_col="g").collect()} \
+        == {"head"}
+
+    # NULL score passes through with a NULL bucket
+    withnull = spark.createDataFrame(
+        [(0, "g", 1), (1, "g", None)], ["doc_id", "g", "nll_milli"]
+    )
+    got = {r["doc_id"]: r["bucket"] for r in
+           ccnet_buckets(withnull, group_col="g").collect()}
+    assert got[1] is None and got[0] == "head"
+
+    with _pytest.raises(ValueError):
+        ccnet_buckets(df, group_col="g", fracs=(0.9, 0.5))
+
+
+def test_ccnet_buckets_partitioning_independent(spark):
+    from vector_spark.datapipe.lm import ccnet_buckets
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", (F.col("n_chars") % 97).alias("nll_milli")
+    )
+    pick = lambda d: sorted(
+        (r["doc_id"], r["bucket"]) for r in
+        ccnet_buckets(d, group_col="lang").collect()
+    )
+    assert pick(docs) == pick(docs.repartition(7))
+
+
+def test_ccnet_thresholds_are_broadcast(spark):
+    from vector_spark.datapipe.lm import (
+        ccnet_buckets, perplexity_scores, unigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lm = unigram_lm(docs.filter(F.col("doc_id") % 5 == 0))
+    scored = perplexity_scores(docs, lm).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    plan = (
+        ccnet_buckets(scored, group_col="lang")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only SinglePartition exchanges are the one-row LM totals
+    # (map-side partials, tiny final agg); the cumulative window must
+    # always partition by the group — a global window here would pull
+    # the histogram of EVERY language through one task
+    for line in plan.splitlines():
+        if line.lstrip().startswith("+- Window ") or " Window [" in line:
+            assert "], [], [" not in line, f"global window: {line}"
+    assert "windowspecdefinition(lang" in plan

@@ -19,6 +19,11 @@ from vector_spark.datapipe.dedup import (  # noqa: F401
     shingles,
     simhash,
 )
+from vector_spark.datapipe.lm import (  # noqa: F401
+    ccnet_buckets,
+    perplexity_scores,
+    unigram_lm,
+)
 from vector_spark.datapipe.sampling import (  # noqa: F401
     hash_split,
     quota_sample,

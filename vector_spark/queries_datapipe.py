@@ -1196,3 +1196,88 @@ def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("is_boilerplate").cast("long")).alias("n_flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity scoring + head/middle/tail bucketing
+
+# word-token CTE shared by the LM oracle: non-empty whitespace tokens
+# of the normalized text, reduced to the portable 60-bit hash
+_TOK_CTE = f"""
+norm AS (SELECT doc_id, lang, {_NORM} AS t FROM documents),
+tok AS (
+  SELECT doc_id, lang, {_H60.format(e='w')} AS h
+  FROM (SELECT doc_id, lang,
+               unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS w
+        FROM norm)
+)"""
+
+
+@register(
+    "doc_ccnet_buckets",
+    f"""
+WITH {_TOK_CTE.lstrip()},
+ref AS (SELECT h FROM tok WHERE doc_id % 5 = 0),
+cnt AS (SELECT h, CAST(count(*) AS DOUBLE) AS c FROM ref GROUP BY h),
+tv AS (SELECT sum(c) AS t, CAST(count(*) AS DOUBLE) AS v FROM cnt),
+lmv AS (SELECT h, ln((c + 0.5) / (t + 0.5 * (v + 1))) AS logp
+        FROM cnt CROSS JOIN tv),
+oov AS (SELECT ln(0.5 / (t + 0.5 * (v + 1))) AS oov_logp FROM tv),
+sc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(round(-avg(coalesce(logp, oov_logp)) * 1000, 0) AS BIGINT) AS s
+  FROM tok LEFT JOIN lmv USING (h) CROSS JOIN oov
+  GROUP BY doc_id
+),
+alldocs AS (
+  SELECT d.doc_id, d.lang, coalesce(sc.n_tokens, 0) AS n_tokens, sc.s
+  FROM documents d LEFT JOIN sc USING (doc_id)
+),
+hist AS (SELECT lang, s, count(*) AS n FROM alldocs
+         WHERE s IS NOT NULL GROUP BY lang, s),
+cumed AS (
+  SELECT lang, s,
+         sum(n) OVER (PARTITION BY lang ORDER BY s) AS cum,
+         sum(n) OVER (PARTITION BY lang) AS tot
+  FROM hist
+),
+thr AS (
+  SELECT lang,
+         min(CASE WHEN cum >= ceil(tot * 0.3333333333333333) THEN s END) AS t1,
+         min(CASE WHEN cum >= ceil(tot * 0.6666666666666666) THEN s END) AS t2
+  FROM cumed GROUP BY lang
+)
+SELECT lang,
+       CASE WHEN s IS NULL THEN NULL
+            WHEN s <= t1 THEN 'head'
+            WHEN s <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS ids_checksum
+FROM alldocs LEFT JOIN thr USING (lang)
+GROUP BY lang, bucket""",
+)
+def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet quality pipeline: a smoothed unigram LM trained on the
+    deterministic reference slice (doc_id % 5 == 0) scores every doc
+    in integer millinats, then each language splits head/middle/tail
+    at its 1/3 and 2/3 score percentiles (ties to the lower bucket —
+    a pure function of the score multiset, so the oracle's plain
+    window reproduces it).  Zero-token docs bucket NULL
+    (datapipe/lm.py)."""
+    from vector_spark.datapipe.lm import (
+        ccnet_buckets, perplexity_scores, unigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = unigram_lm(docs.filter(F.col("doc_id") % 5 == 0))
+    scored = perplexity_scores(docs, lm).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    b = ccnet_buckets(scored, group_col="lang", score_col="nll_milli")
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("doc_id").alias("ids_checksum"),
+    )
