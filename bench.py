@@ -272,6 +272,29 @@ def main() -> None:
                 t.unpersist()
 
     bench("incremental_ingest", _incremental_ingest)
+
+    # CCNet perplexity filter over the documents corpus: train the
+    # unigram LM on the doc_id%5 reference slice, score every doc,
+    # bucket each language head/middle/tail
+    def _ccnet() -> None:
+        from vector_spark.datapipe.lm import (
+            ccnet_buckets, perplexity_scores, unigram_lm,
+        )
+
+        corpus = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "lang", "text")
+            .repartition(cpus)
+        )
+        lm = unigram_lm(corpus.filter(F.col("doc_id") % 5 == 0))
+        scored = perplexity_scores(corpus, lm).join(
+            corpus.select("doc_id", "lang"), "doc_id"
+        )
+        ccnet_buckets(scored, group_col="lang").groupBy(
+            "lang", "bucket"
+        ).count().collect()
+
+    bench("ccnet_filter", _ccnet)
     bench(
         "text_analysis",
         lambda: analyze_documents(transcripts)

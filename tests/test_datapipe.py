@@ -1029,17 +1029,27 @@ def test_boilerplate_metrics_hand_case(spark):
 def test_boilerplate_flag_boundary_is_exact(spark):
     from vector_spark.datapipe.text import boilerplate_metrics
 
-    # doc with 10 grams of which exactly 3 are frequent: 3/10 is NOT
-    # > 0.3 (integer compare 3*10 > 10*3 is false) — no float fuzz
-    common = "the cat sat on mat"
-    filler = "u1 u2 u3 u4 u5 u6 u7"  # unique tail → 7 more words
-    rows = [(i, common) for i in range(50)] + [(99, f"{common} {filler} x9")]
+    # the frequent gram is the self-overlapping "p p p p p"; a run of
+    # k p's contributes k-4 hits.  doc 98: 7 p's + 7 fillers = 14
+    # words → 10 grams, 3 hits — exactly 3/10, which is NOT > 0.3
+    # (integer compare 3*10 > 10*3 is false: ties stay unflagged).
+    # doc 99: 8 p's + 6 fillers = 14 words → 10 grams, 4 hits → 0.4,
+    # flagged.  An off-by-one regression to >= would flip doc 98.
+    p5 = "p p p p p"
+    rows = (
+        [(i, p5) for i in range(50)]
+        + [(98, f"{p5} p p u1 u2 u3 u4 u5 u6 u7"),
+           (99, f"{p5} p p p u1 u2 u3 u4 u5 u6")]
+    )
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    r = {x["doc_id"]: x for x in
-         boilerplate_metrics(df, n=5, min_doc_frac=0.5, flag_frac=0.3)
-         .collect()}[99]
-    assert r["n_grams"] == 9 and r["boiler_hits"] == 1
-    assert not r["is_boilerplate"]
+    got = {x["doc_id"]: x for x in
+           boilerplate_metrics(df, n=5, min_doc_frac=0.5, flag_frac=0.3)
+           .collect()}
+    r98, r99 = got[98], got[99]
+    assert (r98["n_grams"], r98["boiler_hits"]) == (10, 3)
+    assert not r98["is_boilerplate"]
+    assert (r99["n_grams"], r99["boiler_hits"]) == (10, 4)
+    assert r99["is_boilerplate"]
 
 
 def test_boilerplate_broadcasts_frequent_set(spark):
@@ -1155,3 +1165,71 @@ def test_ccnet_thresholds_are_broadcast(spark):
         if line.lstrip().startswith("+- Window ") or " Window [" in line:
             assert "], [], [" not in line, f"global window: {line}"
     assert "windowspecdefinition(lang" in plan
+
+
+# ---------------------------------------------------------------------------
+# NULL-group / NULL-unit semantics (review regressions)
+
+
+def test_quota_sample_all_null_groups_returns_empty(spark):
+    from vector_spark.datapipe.sampling import quota_sample
+
+    df = spark.createDataFrame(
+        [(1, "a b c", None), (2, "d e f", None)],
+        "doc_id: long, text: string, g: string",
+    )
+    assert quota_sample(df, group_col="g", budget=100).count() == 0
+
+
+def test_temperature_mix_null_group_mass_excluded(spark):
+    from vector_spark.datapipe.sampling import temperature_mix, temperature_rates
+
+    # 200 real rows + 200 NULL-group rows: the NULL slice must not
+    # consume target mass — the kept fraction OF THE REAL ROWS stays
+    # at target_frac (not target_frac/2), and rates has no NULL row
+    rows = [(i, "g1" if i % 2 == 0 else None) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id: long, g: string")
+    rates = temperature_rates(df, "g", alpha=0.5, target_frac=0.6).collect()
+    assert [r["g"] for r in rates] == ["g1"]
+    assert rates[0]["keep_thr"] == 600
+    kept = temperature_mix(df, "g", alpha=0.5, target_frac=0.6)
+    assert kept.filter(F.col("g").isNull()).count() == 0
+    frac = kept.count() / 200
+    assert abs(frac - 0.6) < 0.15
+
+
+def test_hash_split_null_unit_gets_null_split(spark):
+    from vector_spark.datapipe.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(1, "s1"), (2, None), (3, None)], "doc_id: long, src: string"
+    )
+    got = {r["doc_id"]: r["split"] for r in
+           hash_split(df, {"a": 0.5, "b": 0.5}, group_col="src").collect()}
+    assert got[1] in ("a", "b")
+    assert got[2] is None and got[3] is None
+
+
+def test_ccnet_null_group_buckets_null_not_tail(spark):
+    from vector_spark.datapipe.lm import ccnet_buckets
+
+    df = spark.createDataFrame(
+        [(0, "g", 1), (1, "g", 2), (2, "g", 3), (3, None, 1)],
+        "doc_id: long, g: string, nll_milli: long",
+    )
+    got = {r["doc_id"]: r["bucket"] for r in
+           ccnet_buckets(df, group_col="g").collect()}
+    assert got[3] is None  # best score, missing group: NOT 'tail'
+    assert got[0] == "head" and got[2] == "tail"
+
+
+def test_pack_sequences_matches_shared_prefix_helper(spark):
+    # packing semantics unchanged after the bucketed_prefix_sum
+    # refactor: hand-computed offsets incl. a straddling doc
+    from vector_spark.datapipe.packing import pack_sequences
+
+    rows = [(1, 5), (2, 5), (3, 4), (4, 9)]  # budget 7: doc 2 straddles
+    df = spark.createDataFrame(rows, "doc_id: long, nt: long")
+    got = {r["doc_id"]: (r["token_offset"], r["seq_id"], r["seq_offset"])
+           for r in pack_sequences(df, budget=7, token_col="nt").collect()}
+    assert got == {1: (0, 0, 0), 2: (5, 0, 5), 3: (10, 1, 3), 4: (14, 2, 0)}

@@ -125,7 +125,9 @@ def ccnet_buckets(
     cumulative count reaches ``ceil(frac_k * group_total)``; ties at a
     threshold all take the lower bucket, so the result is a pure
     function of the (group, score) multiset — partitioning- and
-    engine-independent.  NULL scores pass through with a NULL bucket.
+    engine-independent.  NULL scores — and NULL groups, which have no
+    percentile distribution to rank against — pass through with a
+    NULL bucket rather than defaulting into ``tail``.
 
     The cumulative window runs over the per-(group, score) HISTOGRAM —
     bounded by distinct integer scores, not corpus rows — so no
@@ -135,7 +137,9 @@ def ccnet_buckets(
     if not (0 < lo <= hi <= 1):
         raise ValueError(f"fracs must satisfy 0 < lo <= hi <= 1, got {fracs}")
     hist = (
-        scored.filter(F.col(score_col).isNotNull())
+        scored.filter(
+            F.col(score_col).isNotNull() & F.col(group_col).isNotNull()
+        )
         .groupBy(group_col, score_col)
         .agg(F.count(F.lit(1)).alias("_n"))
     )
@@ -162,7 +166,10 @@ def ccnet_buckets(
         scored.join(F.broadcast(thresholds), group_col, "left")
         .withColumn(
             "bucket",
-            F.when(F.col(score_col).isNull(), F.lit(None).cast("string"))
+            F.when(
+                F.col(score_col).isNull() | F.col(group_col).isNull(),
+                F.lit(None).cast("string"),
+            )
             .when(F.col(score_col) <= F.col("_t1"), F.lit("head"))
             .when(F.col(score_col) <= F.col("_t2"), F.lit("middle"))
             .otherwise(F.lit("tail")),

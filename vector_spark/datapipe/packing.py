@@ -34,6 +34,60 @@ from vector_spark.datapipe.text import token_count
 PACK_BUCKETS = 256
 
 
+def bucketed_prefix_sum(
+    d: DataFrame,
+    *,
+    bucket_col: str,
+    order_cols: list[str],
+    value_col: str,
+    partition_cols: list[str] | None = None,
+    out_col: str = "_prefix",
+) -> DataFrame | None:
+    """The two-phase exclusive-prefix-sum scan shared by
+    :func:`pack_sequences` and
+    :func:`vector_spark.datapipe.sampling.quota_sample`: per-(partition,
+    bucket) totals collected (one row per bucket — bounded), exclusive
+    bucket offsets broadcast back with the SOURCE frame's schema (so
+    all-NULL partition keys can never hit createDataFrame type
+    inference), and a per-(partition, bucket) window cumsum — parallel
+    across buckets, never a whole partition through one task.
+
+    ``d`` must already carry ``bucket_col`` ordered consistently with
+    ``order_cols`` (rows of a lower bucket sort before every row of a
+    higher one within a partition).  Returns ``d`` + ``out_col``, or
+    ``None`` when ``d`` is empty (callers decide their empty shape).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    pcols = list(partition_cols or [])
+    keys = pcols + [bucket_col]
+    totals = d.groupBy(*keys).agg(F.sum(value_col).alias("_t")).collect()
+    if not totals:
+        return None
+    by_part: dict = {}
+    for r in totals:
+        by_part.setdefault(tuple(r[c] for c in pcols), []).append(
+            (r[bucket_col], r["_t"])
+        )
+    offsets = []
+    for part, rows in by_part.items():
+        running = 0
+        for b, t in sorted(rows):
+            offsets.append((*part, b, running))
+            running += t
+    schema = StructType(
+        [d.schema[c] for c in keys] + [StructField("_off", LongType())]
+    )
+    off = F.broadcast(d.sparkSession.createDataFrame(offsets, schema))
+    w = W.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        d.join(off, keys)
+        .withColumn("_run", F.sum(value_col).over(w))
+        .withColumn(out_col, F.col("_off") + F.col("_run") - F.col(value_col))
+        .drop("_off", "_run")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,
@@ -75,33 +129,20 @@ def pack_sequences(
         )
     width = max(1, math.ceil((int(hi) - int(lo) + 1) / n_buckets))
     bucket = F.floor((F.col(id_col) - F.lit(int(lo))) / F.lit(width))
-    d = d.withColumn("_b", bucket)
+    d = d.withColumn("_b", bucket.cast("long"))
 
-    totals = {
-        int(r["_b"]): int(r["t"])
-        for r in d.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect()
-    }
-    running = 0
-    offsets = []
-    for b in sorted(totals):
-        offsets.append((b, running))
-        running += totals[b]
-    off = F.broadcast(
-        df.sparkSession.createDataFrame(offsets, "_b bigint, _off bigint")
+    summed = bucketed_prefix_sum(
+        d, bucket_col="_b", order_cols=[id_col], value_col="n_tokens",
+        out_col="token_offset",
     )
-
-    w = W.partitionBy("_b").orderBy(id_col)
-    out = (
-        d.join(off, "_b")
-        .withColumn("_run", F.sum("n_tokens").over(w))
-        .withColumn("token_offset", F.col("_off") + F.col("_run") - F.col("n_tokens"))
+    return (
+        summed
         .withColumn("seq_id", F.floor(F.col("token_offset") / budget))
         .withColumn(
             "seq_offset", F.col("token_offset") - F.col("seq_id") * budget
         )
         .select(id_col, "n_tokens", "token_offset", "seq_id", "seq_offset")
     )
-    return out
 
 
 def sequence_stats(packed: DataFrame, *, id_col: str = "doc_id") -> DataFrame:

@@ -42,8 +42,9 @@ from vector_spark.datapipe.text import token_count
 #: ulp-level float divergence between engines cannot flip a threshold
 TEMP_GRANULARITY = 1000
 
-#: hash-range buckets for the quota prefix sum (2^60 hash space / 2^54)
-QUOTA_BUCKET_SHIFT = 54
+#: width of :func:`portable_hash60`'s output — the quota prefix sum
+#: buckets on the hash's top ``n_bucket_bits`` bits (shift = 60 - bits)
+HASH_BITS = 60
 
 
 def _id_hash(id_col: str) -> Column:
@@ -65,9 +66,16 @@ def temperature_rates(
     exactly the intended temperature behavior), and the keep
     probability ``p_i = target_i / n_i`` becomes an integer threshold
     ``round(p_i · 1000)``.  One tiny aggregate (a row per group) — the
-    corpus is not touched beyond the count."""
-    counts = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("double").alias("_n")
+    corpus is not touched beyond the count.
+
+    Rows with a NULL group are outside the mix entirely: excluded from
+    the counts here (so they don't consume target mass the join in
+    :func:`temperature_mix` would then silently discard) and absent
+    from the output."""
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
     )
     # the totals are an unpartitioned window over the COUNTS frame —
     # one row per group, so the single-partition window is trivial
@@ -98,7 +106,10 @@ def temperature_mix(
     iff ``hash(id) % 1000 < keep_thr_i``.  Hash-consistent (same doc →
     same decision on every run/engine/cluster size) and a single
     narrow filter over the corpus after a broadcast join of the tiny
-    rates table — the 100 TB side never shuffles."""
+    rates table — the 100 TB side never shuffles.  NULL-group rows are
+    dropped (no rate to apply; their mass never entered the rate
+    computation) — pre-bucket them explicitly if they belong in the
+    mix."""
     rates = temperature_rates(
         df, group_col, alpha=alpha, target_frac=target_frac
     ).select(group_col, "keep_thr")
@@ -132,7 +143,10 @@ def hash_split(
     column at 100 TB; hashing on content ids, not partition position,
     makes the assignment stable under repartitioning, resumable
     re-runs, and engine swaps.  ``salt`` namespaces independent
-    re-splits of the same corpus."""
+    re-splits of the same corpus.  A NULL hash unit gets a NULL split
+    (every NULL would otherwise hash identically and pile into one
+    arbitrary bucket, silently skewing whichever split caught them) —
+    filter or assign those rows explicitly."""
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative with at least one entry")
     tot = float(sum(weights.values()))
@@ -155,6 +169,7 @@ def hash_split(
     expr = F.lit(names[-1])
     for name, t in list(zip(names, thr))[-2::-1]:
         expr = F.when(h < t, F.lit(name)).otherwise(expr)
+    expr = F.when(unit.isNull(), F.lit(None).cast("string")).otherwise(expr)
     return df.withColumn(split_col, expr)
 
 
@@ -184,51 +199,34 @@ def quota_sample(
     normalized text.  Rows with a NULL group are excluded (no budget
     to charge them against) — pre-bucket them explicitly if needed.
     """
+    from vector_spark.datapipe.packing import bucketed_prefix_sum
+
+    if not 1 <= n_bucket_bits <= 20:
+        raise ValueError(f"n_bucket_bits must be in [1, 20], got {n_bucket_bits}")
     toks: Column = (
         token_count(F.col(text_col)) if token_col is None
         else F.col(token_col)
     )
     h = _id_hash(id_col)
-    shift = QUOTA_BUCKET_SHIFT + (6 - n_bucket_bits)
-    d = df.withColumns(
+    d = df.filter(F.col(group_col).isNotNull()).withColumns(
         {
             "_h": h,
-            "_b": F.shiftright(h, shift),
+            # top bits of the hash: bucket order == hash order, so the
+            # per-bucket cumsum + bucket offsets IS the global
+            # hash-order prefix within each group
+            "_b": F.shiftright(h, HASH_BITS - n_bucket_bits),
             "n_tokens": F.coalesce(toks.cast("long"), F.lit(0)),
         }
     )
-
-    totals = (
-        d.groupBy(group_col, "_b")
-        .agg(F.sum("n_tokens").alias("_t"))
-        .collect()
+    summed = bucketed_prefix_sum(
+        d, bucket_col="_b", order_cols=["_h", id_col],
+        value_col="n_tokens", partition_cols=[group_col],
+        out_col="token_offset",
     )
-    by_group: dict = {}
-    for r in totals:
-        by_group.setdefault(r[group_col], []).append((r["_b"], r["_t"]))
-    offsets = []
-    for g, rows in by_group.items():
-        running = 0
-        for b, t in sorted(rows):
-            offsets.append((g, b, running))
-            running += t
-    if not offsets:
-        return d.filter(F.lit(False)).drop("_h", "_b").withColumn(
+    if summed is None:
+        return d.withColumn(
             "token_offset", F.lit(None).cast("long")
-        )
-    off = F.broadcast(
-        df.sparkSession.createDataFrame(offsets, [group_col, "_b", "_off"])
-        .withColumn("_b", F.col("_b").cast("long"))
-        .withColumn("_off", F.col("_off").cast("long"))
-    )
-
-    w = W.partitionBy(group_col, "_b").orderBy("_h", id_col)
+        ).filter(F.lit(False)).drop("_h", "_b")
     return (
-        d.join(off, [group_col, "_b"])
-        .withColumn("_run", F.sum("n_tokens").over(w))
-        .withColumn(
-            "token_offset", F.col("_off") + F.col("_run") - F.col("n_tokens")
-        )
-        .filter(F.col("token_offset") < budget)
-        .drop("_h", "_b", "_off", "_run")
+        summed.filter(F.col("token_offset") < budget).drop("_h", "_b")
     )
