@@ -1233,3 +1233,143 @@ def test_pack_sequences_matches_shared_prefix_helper(spark):
     got = {r["doc_id"]: (r["token_offset"], r["seq_id"], r["seq_offset"])
            for r in pack_sequences(df, budget=7, token_col="nt").collect()}
     assert got == {1: (0, 0, 0), 2: (5, 0, 5), 3: (10, 1, 3), 4: (14, 2, 0)}
+
+
+# ---------------------------------------------------------------------------
+# NB log-odds classifier + top-k-per-group selection + DSIR
+
+
+def test_nb_logodds_weights_hand_case(spark):
+    import math
+
+    from vector_spark.datapipe.classify import (
+        classifier_scores, nb_logodds_weights,
+    )
+
+    labeled = spark.createDataFrame(
+        [(True, "a a b"), (False, "b c")], ["label", "text"]
+    )
+    w = nb_logodds_weights(labeled, alpha=0.5)
+    # vocab {a,b,c}: V=3, Tp=3, Tn=2; denom_p=3+0.5*4=5, denom_n=2+0.5*4=4
+    def m(cp, cn):
+        return round(
+            (math.log((cp + 0.5) / 5.0) - math.log((cn + 0.5) / 4.0)) * 1000
+        )
+
+    rows = w.collect()
+    assert len(rows) == 4  # 3 vocab + 1 OOV sentinel
+    oov = [r for r in rows if r["token_h"] is None]
+    assert len(oov) == 1 and oov[0]["w_milli"] == m(-0.5 + 0.5, -0.5 + 0.5)
+    assert sorted(r["w_milli"] for r in rows if r["token_h"] is not None) == (
+        sorted([m(2, 0), m(1, 1), m(0, 1)])
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a a"), (3, "zz"), (4, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in classifier_scores(docs, w).collect()}
+    assert got[1]["score_milli"] == m(2, 0) and got[1]["keep"] is True
+    # occurrences weight naturally: "a a" doubles the single-token score
+    assert got[2]["score_milli"] == 2 * m(2, 0)
+    # unknown token takes the OOV weight; ln(1/10)-ln(1/8) < 0 -> drop
+    assert got[3]["score_milli"] == m(-0.5 + 0.5, -0.5 + 0.5)
+    assert got[3]["keep"] is False
+    # zero tokens: nothing measured, keep undecided (NULL), not dropped
+    assert got[4]["n_tokens"] == 0
+    assert got[4]["score_milli"] is None and got[4]["keep"] is None
+
+
+def test_topk_per_group_threshold_ties_and_short_groups(spark):
+    import pytest as _pytest
+
+    from vector_spark.datapipe.classify import topk_per_group
+
+    rows = [
+        # g1: scores 5,4,4,4,1 — k=2 threshold is 4; the three ties
+        # at 4 all survive phase 1, rank breaks them by id ASC
+        ("g1", 10, 5), ("g1", 13, 4), ("g1", 11, 4), ("g1", 12, 4),
+        ("g1", 14, 1),
+        # g2: fewer than k rows -> threshold NULL -> keep all
+        ("g2", 20, 7),
+        # excluded pass-outs: NULL score / NULL group
+        ("g1", 15, None), (None, 16, 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, score_milli long"
+    )
+    got = sorted(
+        (r["source"], r["doc_id"])
+        for r in topk_per_group(df, 2, group_col="source").collect()
+    )
+    assert got == [("g1", 10), ("g1", 11), ("g2", 20)]
+    with _pytest.raises(ValueError):
+        topk_per_group(df, 0)
+
+
+def test_topk_per_group_plan_thresholds_broadcast_no_global_window(spark):
+    from vector_spark.datapipe.classify import topk_per_group
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("source"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 101).alias("score_milli"),
+    )
+    plan = (
+        topk_per_group(df, 5, group_col="source")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # per-group thresholds broadcast
+    assert "CartesianProduct" not in plan
+    # both windows (histogram cum + final rank) partition by the
+    # group — a global window would funnel everything through one task
+    assert "windowspecdefinition(source" in plan
+    for line in plan.splitlines():
+        if " Window [" in line or line.lstrip().startswith("+- Window "):
+            assert "], [], [" not in line, f"global window: {line}"
+
+
+def test_dsir_logratio_hand_case(spark):
+    import math
+
+    from vector_spark.datapipe.lm import dsir_logratio, unigram_lm
+
+    target = spark.createDataFrame([(0, "a a b")], ["doc_id", "text"])
+    raw = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    t_lm = unigram_lm(target)  # T=3,V=2: denom 4.5
+    r_lm = unigram_lm(raw)     # T=3,V=3: denom 5.0
+    docs = spark.createDataFrame(
+        [(1, "a c"), (2, "")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r for r in dsir_logratio(docs, t_lm, r_lm).collect()
+    }
+    d_a = round((math.log(2.5 / 4.5) - math.log(1.5 / 5.0)) * 1000)
+    # 'c' is OOV for the target LM but in-vocab for the raw LM
+    d_c = round((math.log(0.5 / 4.5) - math.log(1.5 / 5.0)) * 1000)
+    assert got[1]["n_tokens"] == 2
+    assert got[1]["logratio_milli"] == d_a + d_c
+    assert got[2]["n_tokens"] == 0 and got[2]["logratio_milli"] is None
+
+
+def test_classifier_plan_broadcasts_weights(spark):
+    from vector_spark.datapipe.classify import (
+        classifier_scores, nb_logodds_weights,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    seed = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    plan = (
+        classifier_scores(docs, nb_logodds_weights(seed, label_col="label"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the token-level weights join — the corpus-sized side — must be
+    # broadcast; the only shuffle join allowed is the final per-doc
+    # re-join on doc_id that restores zero-token docs (same shape as
+    # lm.perplexity_scores)
+    assert "BroadcastHashJoin [token_h" in plan
+    assert plan.count("SortMergeJoin") <= 1
+    assert "SortMergeJoin [token_h" not in plan
+    assert "CartesianProduct" not in plan

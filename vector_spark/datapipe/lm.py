@@ -176,3 +176,74 @@ def ccnet_buckets(
         )
         .drop("_t1", "_t2")
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target_lm: DataFrame,
+    raw_lm: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-doc log importance
+    ``log w(x) = sum_t [ log p_target(t) - log p_raw(t) ]`` under two
+    :func:`unigram_lm` frames — rank-select the docs that look most
+    like the target distribution relative to the raw corpus.
+
+    Returns ``(id, n_tokens, logratio_milli)``.  Each token's log-prob
+    DELTA rounds to integer millinats before the per-doc sum, so the
+    sum is exact integer arithmetic and order-independent — the DuckDB
+    oracle reproduces every rank comparison bit-for-bit.  Unknown
+    tokens take each LM's reserved NULL-key OOV mass independently (a
+    token can be in-vocab for one LM and OOV for the other).  Zero-
+    token docs score NULL (nothing to weigh), matching
+    :func:`perplexity_scores`.
+
+    Plan shape: both LM frames broadcast (vocabulary-sized); the
+    corpus explodes to 8-byte token hashes, two broadcast left joins,
+    one groupBy(doc).  The 100 TB side never shuffles on strings.
+    """
+
+    def parts(lm: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+        vocab = lm.filter(F.col("token_h").isNotNull()).select(
+            "token_h", F.col("logp").alias(f"_lp_{tag}")
+        )
+        oov = lm.filter(F.col("token_h").isNull()).select(
+            F.col("logp").alias(f"_oov_{tag}")
+        )
+        return vocab, oov
+
+    tgt_v, tgt_o = parts(target_lm, "t")
+    raw_v, raw_o = parts(raw_lm, "r")
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("_w")
+    ).select(id_col, portable_hash60(F.col("_w")).alias("token_h"))
+    delta_milli = F.round(
+        (
+            F.coalesce("_lp_t", "_oov_t") - F.coalesce("_lp_r", "_oov_r")
+        )
+        * SCORE_SCALE,
+        0,
+    ).cast("long")
+    scored = (
+        toks.join(F.broadcast(tgt_v), "token_h", "left")
+        .join(F.broadcast(raw_v), "token_h", "left")
+        .join(F.broadcast(tgt_o))
+        .join(F.broadcast(raw_o))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(delta_milli).alias("logratio_milli"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "logratio_milli",
+        )
+    )

@@ -1281,3 +1281,173 @@ def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("doc_id").alias("ids_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: NB-log-odds linear classifier (the
+# closed-form NBSVM/fastText-shaped scorer), top-k-per-source
+# selection, and DSIR importance resampling
+
+#: the classifier/DSIR oracles share the smoothed in-class log-prob
+#: construction; keep ONE renderer so the smoothing constant and the
+#: OOV reservation cannot drift between queries
+def _lm_sql(name: str, src_filter: str) -> str:
+    return f"""
+{name}cnt AS (SELECT h, CAST(count(*) AS DOUBLE) AS c FROM tok{src_filter} GROUP BY h),
+{name}tv AS (SELECT sum(c) AS t, CAST(count(*) AS DOUBLE) AS v FROM {name}cnt),
+{name}lm AS (SELECT h, ln((c + 0.5) / (t + 0.5 * (v + 1))) AS lp
+        FROM {name}cnt CROSS JOIN {name}tv),
+{name}oov AS (SELECT ln(0.5 / (t + 0.5 * (v + 1))) AS lp FROM {name}tv)"""
+
+
+#: NB log-odds weight CTEs: seed = even doc_ids labeled (lang = 'en');
+#: weights and scores in exact integer millis
+_NB_SQL = """
+seedtok AS (SELECT h, (lang = 'en') AS pos FROM tok WHERE doc_id % 2 = 0),
+cnt AS (SELECT h,
+          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) AS cp,
+          CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS DOUBLE) AS cn
+        FROM seedtok GROUP BY h),
+tv AS (SELECT sum(cp) AS tp, sum(cn) AS tn,
+              CAST(count(*) AS DOUBLE) AS v FROM cnt),
+wv AS (SELECT h,
+         CAST(round((ln((cp + 0.5) / (tp + 0.5 * (v + 1)))
+                   - ln((cn + 0.5) / (tn + 0.5 * (v + 1)))) * 1000, 0)
+              AS BIGINT) AS w
+       FROM cnt CROSS JOIN tv),
+oovw AS (SELECT CAST(round((ln(0.5 / (tp + 0.5 * (v + 1)))
+                          - ln(0.5 / (tn + 0.5 * (v + 1)))) * 1000, 0)
+                AS BIGINT) AS w FROM tv),
+sc AS (SELECT doc_id, count(*) AS n_tokens,
+              sum(coalesce(wv.w, oovw.w)) AS s
+       FROM tok LEFT JOIN wv USING (h) CROSS JOIN oovw
+       GROUP BY doc_id)"""
+
+
+def _classifier_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark side: train NB log-odds weights on the even-id
+    seed half labeled (lang == 'en'), score every document."""
+    from vector_spark.datapipe.classify import (
+        classifier_scores, nb_logodds_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seed = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    weights = nb_logodds_weights(seed, label_col="label")
+    return classifier_scores(docs, weights).join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    )
+
+
+@register(
+    "doc_classifier_scores",
+    f"""
+WITH {_TOK_CTE.lstrip()},
+{_NB_SQL.lstrip()}
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(sum(s) AS BIGINT) AS score_checksum,
+       CAST(sum(CASE WHEN s > 0 THEN d.doc_id ELSE 0 END) AS BIGINT)
+           AS kept_ids_checksum
+FROM documents d LEFT JOIN sc USING (doc_id)
+GROUP BY d.source""",
+)
+def q_doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (datapipe/classify.py): NB
+    log-odds weights trained closed-form on the deterministic seed
+    half (even doc_ids, positive = lang 'en'), every doc scored as an
+    exact integer milli sum, keep = score > 0.  Per-source keep
+    counts + checksums under the full hash gate."""
+    s = _classifier_scored(spark, sf_dir)
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+        F.sum("score_milli").alias("score_checksum"),
+        F.sum(
+            F.when(F.col("keep"), F.col("doc_id")).otherwise(0)
+        ).alias("kept_ids_checksum"),
+    )
+
+
+@register(
+    "doc_topk_per_source",
+    f"""
+WITH {_TOK_CTE.lstrip()},
+{_NB_SQL.lstrip()},
+scored AS (SELECT d.source, d.doc_id, sc.s AS score_milli
+           FROM documents d JOIN sc USING (doc_id))
+SELECT source, doc_id, score_milli FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY source ORDER BY score_milli DESC, doc_id) <= 10""",
+)
+def q_doc_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fineweb-edu-style selection: the 10 best classifier-scored docs
+    per source by (score DESC, doc_id ASC), via the histogram-
+    thresholded exact top-k (datapipe/classify.py:topk_per_group) —
+    the full selected row set is under the hash gate, so the
+    threshold phase provably changes nothing."""
+    from vector_spark.datapipe.classify import topk_per_group
+
+    sel = topk_per_group(
+        _classifier_scored(spark, sf_dir),
+        10,
+        group_col="source",
+        score_col="score_milli",
+        id_col="doc_id",
+    )
+    return sel.select("source", "doc_id", "score_milli")
+
+
+@register(
+    "doc_dsir_selection",
+    f"""
+WITH {_TOK_CTE.lstrip()},
+{_lm_sql('t', ' WHERE doc_id % 7 = 0').lstrip()},
+{_lm_sql('r', '').lstrip()},
+sc AS (SELECT doc_id,
+         sum(CAST(round((coalesce(tlm.lp, toov.lp)
+                       - coalesce(rlm.lp, roov.lp)) * 1000, 0)
+             AS BIGINT)) AS logratio_milli
+       FROM tok LEFT JOIN tlm USING (h) LEFT JOIN rlm USING (h)
+            CROSS JOIN toov CROSS JOIN roov
+       GROUP BY doc_id),
+top AS (SELECT doc_id, logratio_milli FROM sc
+        QUALIFY row_number() OVER (
+            ORDER BY logratio_milli DESC, doc_id) <= 100)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(top.logratio_milli) AS BIGINT) AS lr_checksum,
+       CAST(sum(d.doc_id) AS BIGINT) AS ids_checksum
+FROM top JOIN documents d USING (doc_id)
+GROUP BY d.lang""",
+)
+def q_doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (datapipe/lm.py:dsir_logratio): rank
+    every doc by its exact-integer log importance weight against a
+    target LM (the doc_id % 7 == 0 slice) relative to the raw-corpus
+    LM, take the global top 100 by (weight DESC, doc_id ASC) —
+    Spark's orderBy+limit compiles to TakeOrdered partial top-k, no
+    global sort — and report the per-language composition."""
+    from vector_spark.datapipe.lm import dsir_logratio, unigram_lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t_lm = unigram_lm(docs.filter(F.col("doc_id") % 7 == 0))
+    r_lm = unigram_lm(docs)
+    sc = dsir_logratio(docs, t_lm, r_lm)
+    top = (
+        sc.filter(F.col("logratio_milli").isNotNull())
+        .orderBy(F.col("logratio_milli").desc(), F.col("doc_id"))
+        .limit(100)
+    )
+    return (
+        top.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("logratio_milli").alias("lr_checksum"),
+            F.sum("doc_id").alias("ids_checksum"),
+        )
+    )
