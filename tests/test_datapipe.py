@@ -1373,3 +1373,67 @@ def test_classifier_plan_broadcasts_weights(spark):
     assert plan.count("SortMergeJoin") <= 1
     assert "SortMergeJoin [token_h" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (ADC + exact refine)
+
+
+def test_pq_codebooks_deterministic_and_encode_shape(spark):
+    from vector_spark.datapipe.similarity import (
+        pq_encode, pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    b1 = pq_train_codebooks(emb, m=8, ksub=16, iters=3)
+    b2 = pq_train_codebooks(emb, m=8, ksub=16, iters=3)
+    assert b1 == b2  # fixed seed + deterministic sample ordering
+    assert len(b1) == 8 and len(b1[0]) == 16 and len(b1[0][0]) == 8
+
+    coded = pq_encode(emb, b1)
+    row = coded.select("pq_codes").first()
+    assert len(row["pq_codes"]) == 8
+    assert all(0 <= c < 16 for c in row["pq_codes"])
+    # encoding is a pure function: re-encoding matches itself
+    a = {r["vec_id"]: r["pq_codes"] for r in coded.collect()}
+    b = {r["vec_id"]: r["pq_codes"] for r in pq_encode(emb, b1).collect()}
+    assert a == b
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pq_train_codebooks(emb, m=7)  # 64 % 7 != 0
+
+
+def test_pq_recall_vs_exact(spark):
+    from vector_spark.datapipe.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=10).collect()
+    # measured on this corpus (numpy prototype, 32 queries):
+    # m=16/ksub=16/refine=50 → 0.887; m=8/ksub=32/refine=100 → 0.922
+    approx = pq_topk(emb, queries, k=10, m=16, ksub=16, refine=50).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"PQ refine-recall {recall} too low (16x16, R=50)"
+    # the refine stage outputs exactly k rows per query
+    assert len(approx_set) == len(exact_set)
+
+
+def test_pq_encode_plan_is_narrow(spark):
+    from vector_spark.datapipe.similarity import (
+        pq_encode, pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_train_codebooks(emb, m=8, ksub=16, iters=2)
+    plan = (
+        pq_encode(emb, books)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the O(N) encode is a pure projection (zero exchanges) through
+    # the Arrow batch seam — never row-at-a-time Python
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan

