@@ -295,6 +295,38 @@ def main() -> None:
         ).count().collect()
 
     bench("ccnet_filter", _ccnet)
+
+    def _classifier() -> None:
+        from vector_spark.datapipe.classify import (
+            classifier_scores, nb_logodds_weights,
+        )
+
+        corpus = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "lang", "source", "text")
+            .repartition(cpus)
+        )
+        seed = corpus.filter(F.col("doc_id") % 2 == 0).withColumn(
+            "label", F.col("lang") == "en"
+        )
+        weights = nb_logodds_weights(seed, label_col="label")
+        classifier_scores(corpus, weights).groupBy("keep").agg(
+            F.count(F.lit(1)), F.sum("score_milli")
+        ).collect()
+
+    bench("classifier_filter", _classifier)
+
+    def _pq() -> None:
+        from vector_spark.datapipe.similarity import pq_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 32)
+        # training (driver k-means on the bounded sample) included:
+        # it is a once-per-corpus cost like the IVF/dedup indexes
+        pq_topk(emb, q, k=10, m=16, ksub=16, refine=50).count()
+
+    bench("pq_ann", _pq)
+
     bench(
         "text_analysis",
         lambda: analyze_documents(transcripts)
