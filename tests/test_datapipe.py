@@ -1437,3 +1437,36 @@ def test_pq_encode_plan_is_narrow(spark):
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_nb_weights_ignore_null_labels(spark):
+    from vector_spark.datapipe.classify import nb_logodds_weights
+
+    labeled = spark.createDataFrame(
+        [(True, "a a b"), (False, "b c"), (None, "q q q")],
+        "label boolean, text string",
+    )
+    clean = spark.createDataFrame(
+        [(True, "a a b"), (False, "b c")], "label boolean, text string"
+    )
+    got = sorted(
+        (r["token_h"] or -1, r["w_milli"])
+        for r in nb_logodds_weights(labeled).collect()
+    )
+    want = sorted(
+        (r["token_h"] or -1, r["w_milli"])
+        for r in nb_logodds_weights(clean).collect()
+    )
+    # NULL-labeled rows contribute to neither class nor the vocabulary
+    assert got == want and len(got) == 4
+
+
+def test_pq_topk_refine_floored_at_k(spark):
+    from vector_spark.datapipe.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(100)
+    queries = emb.filter(F.col("vec_id") < 2)
+    out = pq_topk(emb, queries, k=10, m=8, ksub=16, refine=1)
+    counts = {r["query_id"]: r["n"] for r in
+              out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 10 for n in counts.values()), counts

@@ -60,10 +60,18 @@ def nb_logodds_weights(
     one class still contrasts against the other's smoothed floor).
     Weights round to integer millis so downstream sums are exact.
     """
-    toks = labeled.select(
-        F.col(label_col).cast("boolean").alias("_pos"),
-        F.explode(_tokens(text_col)).alias("_w"),
-    ).select("_pos", portable_hash60(F.col("_w")).alias("token_h"))
+    toks = (
+        # NULL labels are IGNORED (not defaulted into the negative
+        # class): their tokens must enter neither class count nor the
+        # vocabulary, else they would surface as NULL weights that
+        # silently score as OOV
+        labeled.filter(F.col(label_col).isNotNull())
+        .select(
+            F.col(label_col).cast("boolean").alias("_pos"),
+            F.explode(_tokens(text_col)).alias("_w"),
+        )
+        .select("_pos", portable_hash60(F.col("_w")).alias("token_h"))
+    )
     counts = toks.groupBy("token_h").agg(
         F.sum(F.col("_pos").cast("double")).alias("_cp"),
         F.sum((~F.col("_pos")).cast("double")).alias("_cn"),

@@ -554,6 +554,8 @@ def pq_topk(
     list id) for IVF-PQ when even the ADC scan must be pruned."""
     import numpy as np
 
+    # a shortlist narrower than k could never return k rows
+    refine = max(refine, k)
     if codebooks is None:
         codebooks = pq_train_codebooks(
             vectors, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
