@@ -1470,3 +1470,25 @@ def test_pq_topk_refine_floored_at_k(spark):
     counts = {r["query_id"]: r["n"] for r in
               out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert all(n == 10 for n in counts.values()), counts
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    from vector_spark.datapipe.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = pq_topk(
+        emb, queries, k=10, m=16, ksub=16, refine=100,
+        n_lists=8, n_probe=6,
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"IVF-PQ recall {recall} too low (8 lists/6 probe)"
+    # exactly one row per (query, rank): the multi-probe join must not
+    # duplicate shortlist rows into the rescore
+    keys = [(r["query_id"], r["rank"]) for r in approx]
+    assert len(keys) == len(set(keys)) == 20 * 10
+    neighbors = [(r["query_id"], r["neighbor_id"]) for r in approx]
+    assert len(neighbors) == len(set(neighbors))

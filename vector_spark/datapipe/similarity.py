@@ -532,6 +532,9 @@ def pq_topk(
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     refine: int = PQ_REFINE,
+    ivf_centroids: list[list[float]] | None = None,
+    n_lists: int = 0,
+    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -549,9 +552,14 @@ def pq_topk(
        cosine, then exact top-k by (cos DESC, neighbor_id ASC).
 
     Approximate by construction — verified by a recall gate against
-    :func:`cosine_topk` in tests, like ann_topk/ivf_topk.  Compose
-    with :func:`ivf_assign` on both sides first (equi-join on the
-    list id) for IVF-PQ when even the ADC scan must be pruned."""
+    :func:`cosine_topk` in tests, like ann_topk/ivf_topk.
+
+    IVF-PQ: pass ``n_lists > 0`` (or ``ivf_centroids``) to prune even
+    the ADC scan — vectors index into their nearest coarse list,
+    queries probe ``n_probe`` lists, and the candidate join becomes an
+    equi-join on the list id instead of a broadcast cross join (the
+    FAISS IVFPQ layout: at 100 TB the code table is also clustered on
+    the list id, so a probe touches n_probe/n_lists of the corpus)."""
     import numpy as np
 
     # a shortlist narrower than k could never return k rows
@@ -576,13 +584,27 @@ def pq_topk(
         )  # B x m x ksub
         return pd.Series([[list(row) for row in l] for l in luts])
 
-    q = queries.select(
+    use_ivf = bool(n_lists) or ivf_centroids is not None
+    if use_ivf and ivf_centroids is None:
+        ivf_centroids = ivf_train_centroids(
+            vectors, k=n_lists, id_col=id_col, vec_col=vec_col
+        )
+    vsrc, qsrc = vectors, queries
+    if use_ivf:
+        vsrc = ivf_assign(vectors, ivf_centroids, n_probe=1, vec_col=vec_col)
+        qsrc = ivf_assign(
+            queries, ivf_centroids, n_probe=n_probe, vec_col=vec_col
+        )
+    q = qsrc.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         _lut(F.col(vec_col)).alias("_lut"),
+        *(["ivf_list"] if use_ivf else []),
     )
-    codes = pq_encode(vectors, codebooks, vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("pq_codes").alias("_codes")
+    codes = pq_encode(vsrc, codebooks, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("pq_codes").alias("_codes"),
+        *(["ivf_list"] if use_ivf else []),
     )
     adc = sum(
         F.element_at(
@@ -590,11 +612,18 @@ def pq_topk(
         )
         for mi in range(m)
     )
-    cand = (
-        codes.crossJoin(F.broadcast(q.select("query_id", "_lut")))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("_adc", adc)
-    )
+    if use_ivf:
+        # each vector sits in exactly one list, so a (query, neighbor)
+        # pair can collide through at most one probe — no dedup needed
+        cand = codes.join(
+            F.broadcast(q.select("query_id", "_lut", "ivf_list")),
+            "ivf_list",
+        )
+    else:
+        cand = codes.crossJoin(F.broadcast(q.select("query_id", "_lut")))
+    cand = cand.filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("_adc", adc)
     wr = W.partitionBy("query_id").orderBy(
         F.desc("_adc"), F.asc("neighbor_id")
     )
@@ -606,9 +635,15 @@ def pq_topk(
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vv")
     )
+    # rescore against the ORIGINAL queries frame — under IVF, `q`
+    # carries one row per probed list and would duplicate each
+    # shortlist row n_probe times
+    q_flat = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
     rescored = (
         shortlist.join(v, "neighbor_id")
-        .join(q.select("query_id", "_qv"), "query_id")
+        .join(F.broadcast(q_flat), "query_id")
         .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_vv")), 6))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
