@@ -54,3 +54,49 @@ def test_entry_smoke(spark):
         "sink", "window_start", "n", "sum_bytes", "sum_latency",
         "min_latency", "max_latency", "n_convs",
     ]
+
+
+def test_classifier_oracles_null_lang_and_source(spark, tmp_path):
+    """Regression for the round-3 advice: the classifier oracles must
+    agree with the engine on NULL-label and NULL-group semantics, not
+    merely on corpora that happen to contain no NULLs.  Runs both
+    sides on a tampered documents table carrying NULL-lang seed rows
+    (must enter neither class nor the vocabulary) and NULL-source rows
+    (must never rank in a top-k partition)."""
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_DIR, assert_frames_match
+
+    src = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    pdf = src.to_pandas()
+    hi = int(pdf["doc_id"].max()) + 2  # +2 keeps parity control easy
+    null_lang = pdf.head(20).copy()
+    # even doc_ids so these rows land INSIDE the even-id seed half
+    null_lang["doc_id"] = [hi + 2 * i for i in range(20)]
+    null_lang["lang"] = None
+    null_src = pdf.head(20).copy()
+    null_src["doc_id"] = [hi + 40 + 2 * i for i in range(20)]
+    null_src["source"] = None
+    out = pd.concat([pdf, null_lang, null_src], ignore_index=True)
+    path = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(
+            out, schema=src.schema.remove_metadata(), preserve_index=False
+        ),
+        path,
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    try:
+        for name in ("doc_classifier_scores", "doc_topk_per_source"):
+            fn, oracle = _REGISTRY[name]
+            assert_frames_match(fn(spark, str(tmp_path)), con.sql(oracle))
+    finally:
+        con.close()

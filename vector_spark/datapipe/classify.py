@@ -29,15 +29,6 @@ from vector_spark.datapipe.dedup import portable_hash60
 from vector_spark.datapipe.lm import SCORE_SCALE, _tokens
 
 
-def _class_logp(counts: DataFrame, alpha: float) -> Column:
-    """Smoothed in-class log-probability ln((c + a) / (T + a*(V+1)))
-    over a (token_h, _c) frame's aggregate columns (_t, _v)."""
-    return F.log(
-        (F.coalesce(F.col("_c"), F.lit(0.0)) + F.lit(alpha))
-        / (F.col("_t") + F.lit(alpha) * (F.col("_v") + 1))
-    )
-
-
 def nb_logodds_weights(
     labeled: DataFrame,
     *,
@@ -130,8 +121,26 @@ def classifier_scores(
     and one groupBy(id) finishes.  No global sort, no driver loop.
     """
     vocab = weights.filter(F.col("token_h").isNotNull())
-    oov = weights.filter(F.col("token_h").isNull()).select(
-        F.col("w_milli").alias("_oov_w")
+    # Enforce the nb_logodds_weights contract lazily, inside the plan:
+    # a weights frame with NO NULL-key OOV row would make the cross
+    # join empty (every doc silently scores NULL), and one with
+    # several would duplicate every token row.  Aggregating the OOV
+    # side to exactly one row and raising on a bad count turns both
+    # malformations into a loud error instead.
+    oov = weights.filter(F.col("token_h").isNull()).agg(
+        F.count(F.lit(1)).alias("_n_oov"),
+        F.min("w_milli").alias("_oov_w"),
+    )
+    checked_oov = F.when(F.col("_n_oov") == 1, F.col("_oov_w")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "classifier_scores: weights frame must carry exactly"
+                    " one token_h IS NULL OOV row, got "
+                ),
+                F.col("_n_oov").cast("string"),
+            )
+        )
     )
     toks = df.select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("_w")
@@ -142,7 +151,9 @@ def classifier_scores(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.coalesce("w_milli", "_oov_w")).alias("score_milli"),
+            F.sum(F.coalesce(F.col("w_milli"), checked_oov)).alias(
+                "score_milli"
+            ),
         )
     )
     return (
@@ -166,22 +177,35 @@ def topk_per_group(
     group_col: str = "source",
     score_col: str = "score_milli",
     id_col: str = "doc_id",
+    bucket_width: int = 1000,
 ) -> DataFrame:
     """Exact top-``k`` rows per group by ``(score DESC, id ASC)`` —
     the fineweb-edu selection step ("keep the k best-scored docs per
     dump/domain") — without ever sorting a whole group through one
     task.
 
-    Two phases:
-    1. A per-(group, score) HISTOGRAM (bounded, map-side combinable)
-       with a cumulative window ordered by score DESC yields each
-       group's threshold ``t`` = the k-th highest score; groups with
-       fewer than k rows get ``t = NULL`` (keep all).
-    2. Only rows with ``score >= t`` — at most k plus the ties AT t —
+    Three phases:
+    1. A per-(group, floor(score / bucket_width)) COARSE histogram
+       with a cumulative window ordered by bucket DESC locates, for
+       each group, the bucket ``b*`` that contains the k-th highest
+       score, plus the exact count of rows in strictly higher buckets.
+       The window's per-group cardinality is O(score range /
+       bucket_width), independent of how many distinct raw scores a
+       hot group has (the round-3 claim of "bounded" held only for
+       genuinely low-cardinality scores like ccnet's rounded means;
+       raw milli sums are near-unique, so the coarse pass is what
+       actually bounds the funnel).
+    2. Only rows falling IN ``b*`` build an exact per-(group, score)
+       histogram; its cumulative window (seeded with the higher-bucket
+       count) yields the exact threshold ``t`` = the k-th highest
+       score.  Per-group cardinality: O(distinct scores in one
+       bucket).  Groups with fewer than k rows get ``t = NULL``
+       (keep all).
+    3. Only rows with ``score >= t`` — at most k plus the ties AT t —
        reach the exact ``row_number`` window, so the per-group sort is
        O(k + ties), not O(group).
 
-    Degenerate bound: a group whose scores are all EQUAL makes phase 2
+    Degenerate bound: a group whose scores are all EQUAL makes phase 3
     that whole group (every row ties at the threshold) — the same
     documented worst case as a degenerate LSH bucket.  Real
     milli-scaled quality scores are near-continuous, so ties are thin.
@@ -190,21 +214,58 @@ def topk_per_group(
     NULL groups have no distribution to rank against and are excluded
     — both documented pass-outs, matching lm.ccnet_buckets.  The
     result is a pure function of the (group, score, id) multiset —
-    partitioning- and engine-independent.
+    partitioning-, bucket_width- and engine-independent (the coarse
+    pass only changes WHERE the exact threshold is computed, never its
+    value — doc_topk_per_source's full-row hash gate pins this).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
     ranked_in = df.filter(
         F.col(score_col).isNotNull() & F.col(group_col).isNotNull()
     )
-    hist = ranked_in.groupBy(group_col, score_col).agg(
+    bucket = F.floor(F.col(score_col) / F.lit(int(bucket_width)))
+    coarse = ranked_in.groupBy(group_col, bucket.alias("_b")).agg(
         F.count(F.lit(1)).alias("_n")
     )
-    cum = F.sum("_n").over(
+    bcum = F.sum("_n").over(
+        W.partitionBy(group_col).orderBy(F.col("_b").desc())
+    )
+    # max-of-struct picks the HIGHEST bucket whose cumulative count
+    # reaches k (struct ordering is lexicographic on the first field),
+    # carrying the exact number of rows strictly above it
+    bstar = (
+        coarse.select(group_col, "_b", "_n", bcum.alias("_bcum"))
+        .groupBy(group_col)
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_bcum") >= k,
+                    F.struct(
+                        F.col("_b").alias("_b"),
+                        (F.col("_bcum") - F.col("_n")).alias("_above"),
+                    ),
+                )
+            ).alias("_bs")
+        )
+        .select(
+            group_col,
+            F.col("_bs._b").alias("_bstar"),
+            F.col("_bs._above").alias("_above"),
+        )
+    )
+    in_bucket = (
+        ranked_in.join(F.broadcast(bstar), group_col)
+        .filter(bucket == F.col("_bstar"))
+        .groupBy(group_col, score_col, "_above")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    cum = F.col("_above") + F.sum("_n").over(
         W.partitionBy(group_col).orderBy(F.col(score_col).desc())
     )
     thr = (
-        hist.select(group_col, score_col, cum.alias("_cum"))
+        in_bucket.select(group_col, score_col, cum.alias("_cum"))
         .groupBy(group_col)
         .agg(
             F.max(

@@ -1316,7 +1316,8 @@ def _lm_sql(name: str, src_filter: str) -> str:
 #: NB log-odds weight CTEs: seed = even doc_ids labeled (lang = 'en');
 #: weights and scores in exact integer millis
 _NB_SQL = """
-seedtok AS (SELECT h, (lang = 'en') AS pos FROM tok WHERE doc_id % 2 = 0),
+seedtok AS (SELECT h, (lang = 'en') AS pos FROM tok
+            WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
 cnt AS (SELECT h,
           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) AS cp,
           CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS DOUBLE) AS cn
@@ -1391,7 +1392,8 @@ def q_doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_TOK_CTE.lstrip()},
 {_NB_SQL.lstrip()},
 scored AS (SELECT d.source, d.doc_id, sc.s AS score_milli
-           FROM documents d JOIN sc USING (doc_id))
+           FROM documents d JOIN sc USING (doc_id)
+           WHERE d.source IS NOT NULL)
 SELECT source, doc_id, score_milli FROM scored
 QUALIFY row_number() OVER (
     PARTITION BY source ORDER BY score_milli DESC, doc_id) <= 10""",
