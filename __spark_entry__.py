@@ -2,9 +2,10 @@
 
 entry(spark) runs the flagship parse→enrich→route→aggregate pipeline on
 the sf0.001-scale transcripts table; queries()/oracle_sql() expose every
-implemented operator (75 queries, 73 with DuckDB oracles) in an explicit
-priority order that keeps the unique-capability set — incl. the
-LLM-datapipe suite — inside the driver's 50-query verification window
+implemented operator (exact counts: ``len(queries())`` registered,
+``len(oracle_sql())`` with DuckDB oracles — the registry is the single
+source of truth) in an explicit priority order that rotates queries
+through the driver's 50-query verification window each round
 (vector_spark.registry._PRIORITY).
 """
 

@@ -36,46 +36,40 @@ def register(name: str, oracle: str | None):
 # (parser roundtrip trio, second sample/dedupe/throttle modes, generic
 # Spark demos) rank after position 50.  Everything stays registered and
 # locally oracle-tested (tests/test_queries_oracle.py runs all).
+#
+# WINDOW ROTATION (round-4 norm, per the r3 verdict): each round, rows
+# that have been driver-green for 2+ rounds rotate OUT in favor of
+# registered queries that have never had driver evidence, so every
+# oracled query gets driver verification within ~2 rounds.  Rotated-out
+# rows stay registered and locally oracle-tested.
+# r4 rotated OUT (green r1/r2+r3): memory_enrich_ttl,
+#   datadog_search_counts, ddsketch_quantiles, tag_cardinality_limit_3,
+#   reduce_sessions, sample_mod_1in7, context_window_errors,
+#   incremental_to_absolute, enrich_ip_ranges
+# r4 rotated IN (registered 51+, never driver-verified):
+#   doc_classifier_scores, doc_topk_per_source, doc_dsir_selection,
+#   doc_ccnet_buckets, doc_boilerplate, doc_train_split, emb_pq_topk,
+#   emb_dup_clusters, doc_corpus_stats
 _PRIORITY: list[str] = [
     # parse / order / enrich
     "parse_extract", "parse_dropped", "turns_stable_order",
-    "enrich_lookup", "enrich_ip_ranges", "memory_enrich_ttl",
-    # route (sink_slow/sink_assistant demoted past 50 in the r3
-    # continuation: four per-sink variants were redundant next to the
-    # errors/tools sinks + unmatched + counts; the freed slots put the
-    # new training-data ops under the driver gate)
-    # (route_sink_tools demoted with the other per-sink variants: the
-    # errors sink + unmatched + counts keep the operator in-window;
-    # its slot goes to doc_incremental_dedup)
-    # (route_counts demoted in the r3 continuation: errors sink +
-    # unmatched + exclusive counts keep route/filter in-window; its
-    # slot goes to doc_dup_clusters)
+    "enrich_lookup",
+    # route: errors sink + unmatched + exclusive counts keep the
+    # operator in-window; per-sink variants stay demoted
     "route_sink_errors", "route_unmatched",
     "exclusive_route_counts",
-    # aggregate / pipeline (pipeline_fused_agg demoted: near-duplicate
-    # of pipeline_stats; its slot goes to doc_sequence_packing)
+    # aggregate / pipeline
     "aggregate_errors_1m", "aggregate_by_role_diff",
     "pipeline_stats",
-    # reduce / sessions (ends_when variant demoted: three other
-    # reduce gates stay in-window; sessionize_counts demoted in the r3
-    # continuation — reduce_sessions covers session semantics; its
-    # slot goes to emb_sq8_topk)
-    "reduce_conversations", "reduce_sessions",
+    # reduce / sessions
+    "reduce_conversations",
     # conditions / remap / scale chain
-    "datadog_search_counts", "datadog_tags_facets", "redact_pii",
+    "datadog_tags_facets", "redact_pii",
     "remap_program", "scale_chain_rows", "multiline_records",
-    # per-operator semantics (sample_group_consistent demoted:
-    # sample_mod_1in7 keeps the operator in-window)
-    # (latest_status_by_service + metric_to_log_roundtrip demoted in
-    # the r3 continuation: the aggregate family stays repped by
-    # errors_1m/by_role_diff and the metric family by
-    # log_to_metric_agg/incremental_to_absolute; their slots go to
-    # doc_temperature_mix + doc_quota_sample)
-    "dedupe_first_wins", "sample_mod_1in7",
+    # per-operator semantics
+    "dedupe_first_wins",
     "throttle_5_per_10m",
-    "context_window_errors", "log_to_metric_agg",
-    "incremental_to_absolute",
-    "tag_cardinality_limit_3", "ddsketch_quantiles",
+    "log_to_metric_agg",
     # round-3 breadth: grok base patterns + framing
     "grok_apache_combined", "octet_framed_syslog",
     # LLM-datapipe suite (fell outside the r2 window; must be inside)
@@ -88,6 +82,10 @@ _PRIORITY: list[str] = [
     "doc_repetition", "doc_gopher_quality", "doc_decontamination",
     "doc_line_dedup_global", "doc_sequence_packing",
     "doc_temperature_mix", "doc_quota_sample",
+    # r4 rotation: first driver evidence for the session-4/5 ops
+    "doc_classifier_scores", "doc_topk_per_source", "doc_dsir_selection",
+    "doc_ccnet_buckets", "doc_boilerplate", "doc_train_split",
+    "emb_pq_topk", "emb_dup_clusters", "doc_corpus_stats",
 ]
 
 
