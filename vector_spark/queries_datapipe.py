@@ -1466,3 +1466,42 @@ def q_doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("ids_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE tokenization (round 4): real subword token budgets
+
+
+@register("doc_bpe_token_counts", None)
+def q_doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real subword token budgets (datapipe/bpe.py): learn a byte-level
+    BPE merge table from the corpus itself (bounded word-frequency
+    sample, deterministic ties), count BPE tokens per document with the
+    Arrow-batched kernel, and report per-source totals next to the
+    whitespace counts they correct.
+
+    No SQL oracle — iterative merge learning + greedy merge application
+    are not expressible in DuckDB SQL (same class as the ANN queries'
+    no_oracle rows).  Verified instead by tests/test_bpe.py: training
+    and encoding parity against an independent naive reference
+    implementation, lossless round-trips, and Spark-kernel-vs-driver
+    equality; the result is deterministic for a fixed corpus (rows +
+    schema under the driver's weaker gate are stable)."""
+    from vector_spark.datapipe.bpe import bpe_token_counts, learn_bpe
+    from vector_spark.datapipe.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the synthetic corpus has a ~31-word vocabulary: a realistic merge
+    # budget (512+) coalesces every word to one token and the BPE count
+    # degenerates to the whitespace count.  48 merges keeps the corpus
+    # PARTIALLY merged so the gate actually exercises subword splits.
+    merges = learn_bpe(docs, num_merges=48, max_words=50_000)
+    counted = bpe_token_counts(docs, merges)
+    return counted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.sum(token_count(F.col("text"))).alias("total_ws_tokens"),
+        F.sum(
+            F.col("doc_id") * F.col("n_bpe_tokens")
+        ).alias("weighted_checksum"),
+    )

@@ -51,8 +51,10 @@ def register(name: str, oracle: str | None):
 #   doc_ccnet_buckets, doc_boilerplate, doc_train_split, emb_pq_topk,
 #   emb_dup_clusters, doc_corpus_stats
 _PRIORITY: list[str] = [
-    # parse / order / enrich
-    "parse_extract", "parse_dropped", "turns_stable_order",
+    # parse / order / enrich (turns_stable_order rotated out r4: the
+    # ordering contract is exercised by every pipeline query; its slot
+    # goes to doc_bpe_token_counts)
+    "parse_extract", "parse_dropped",
     "enrich_lookup",
     # route: errors sink + unmatched + exclusive counts keep the
     # operator in-window; per-sink variants stay demoted
@@ -86,6 +88,9 @@ _PRIORITY: list[str] = [
     "doc_classifier_scores", "doc_topk_per_source", "doc_dsir_selection",
     "doc_ccnet_buckets", "doc_boilerplate", "doc_train_split",
     "emb_pq_topk", "emb_dup_clusters", "doc_corpus_stats",
+    # r4 new capability: real subword token budgets (no SQL oracle —
+    # see the query docstring; parity-tested in tests/test_bpe.py)
+    "doc_bpe_token_counts",
 ]
 
 
