@@ -1505,3 +1505,39 @@ def q_doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") * F.col("n_bpe_tokens")
         ).alias("weighted_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language ID over hashed char-n-gram profiles (round 4)
+
+from vector_spark.datapipe.langid import langid_sql as _langid_sql
+
+
+@register(
+    "doc_lang_id",
+    f"""
+WITH {_langid_sql().lstrip()}
+SELECT pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS ids_checksum,
+       CAST(sum(score_milli) AS BIGINT) AS score_checksum
+FROM pred GROUP BY pred_lang""",
+)
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """28-language hashed char-n-gram profile classifier
+    (datapipe/langid.py): normalize -> bounded 256-char prefix ->
+    explode mixed 1/2/3-grams -> broadcast-join the embedded profile
+    weights -> per-(doc, lang) integer-milli scores -> argmax with
+    (score DESC, lang ASC) ties, 'und' for no-hit docs.
+    Per-predicted-language counts and checksums under the full hash
+    gate; the oracle re-derives every score from the same profile
+    constants in pure SQL."""
+    from vector_spark.datapipe.langid import predict_lang
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = predict_lang(docs)
+    return p.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("ids_checksum"),
+        F.sum("score_milli").alias("score_checksum"),
+    )

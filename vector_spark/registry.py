@@ -68,8 +68,9 @@ _PRIORITY: list[str] = [
     # conditions / remap / scale chain
     "datadog_tags_facets", "redact_pii",
     "remap_program", "scale_chain_rows", "multiline_records",
-    # per-operator semantics
-    "dedupe_first_wins",
+    # per-operator semantics (dedupe_first_wins rotated out r4 — green
+    # since r1, doc_exact_dedup keeps the dedup class in-window; its
+    # slot goes to doc_lang_id)
     "throttle_5_per_10m",
     "log_to_metric_agg",
     # round-3 breadth: grok base patterns + framing
@@ -91,6 +92,8 @@ _PRIORITY: list[str] = [
     # r4 new capability: real subword token budgets (no SQL oracle —
     # see the query docstring; parity-tested in tests/test_bpe.py)
     "doc_bpe_token_counts",
+    # r4 new capability: 28-language hashed n-gram langid (full oracle)
+    "doc_lang_id",
 ]
 
 
