@@ -1492,3 +1492,69 @@ def test_ivfpq_recall_vs_exact(spark):
     assert len(keys) == len(set(keys)) == 20 * 10
     neighbors = [(r["query_id"], r["neighbor_id"]) for r in approx]
     assert len(neighbors) == len(set(neighbors))
+
+
+def test_multiclass_grader_recovers_grades(spark):
+    """A corpus where each grade has its own marker vocabulary: the
+    grader must recover every held-out doc's grade, and ties/priors
+    must stay deterministic."""
+    from vector_spark.datapipe.classify import (
+        grade_documents, nb_multiclass_weights,
+    )
+
+    rows = []
+    for k in range(4):
+        marker = f"marker{k} quality{k} level{k}"
+        for i in range(12):
+            rows.append((k * 100 + i, f"{marker} common filler text", k))
+    seed = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    weights, classes = nb_multiclass_weights(seed)
+    heldout = spark.createDataFrame(
+        [
+            (1000, "marker0 quality0 something common"),
+            (1001, "level1 marker1 filler"),
+            (1002, "quality2 quality2 text"),
+            (1003, "marker3 level3 quality3"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["grade"]
+        for r in grade_documents(heldout, weights, classes).collect()
+    }
+    assert got == {1000: 0, 1001: 1, 1002: 2, 1003: 3}
+
+
+def test_multiclass_grader_null_label_and_oov_docs(spark):
+    """NULL seed labels are ignored; a doc with zero vocab hits still
+    grades (prior + n * oov fallback rows); zero-token docs drop."""
+    from vector_spark.datapipe.classify import (
+        grade_documents, nb_multiclass_weights,
+    )
+
+    seed = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta", 0),
+            (2, "gamma gamma delta", 1),
+            (3, "poison poison poison", None),
+        ],
+        "doc_id long, text string, label int",
+    )
+    weights, classes = nb_multiclass_weights(seed)
+    # the NULL-labeled doc's vocabulary must not exist in the model
+    vocab_hashes = {r["token_h"] for r in weights.collect()}
+    from vector_spark.datapipe.langid import _hash60_py
+
+    assert _hash60_py("poison") not in vocab_hashes
+    docs = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "zzz yyy xxx"), (12, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in grade_documents(docs, weights, classes).collect()
+    }
+    assert got[10]["grade"] == 0
+    # no-hit doc: argmax of prior + n*oov — equal priors and oovs here,
+    # tie breaks to the smallest label
+    assert got[11]["grade"] == 0 and got[11]["n_tokens"] == 3
+    assert 12 not in got, "zero-token docs are excluded"

@@ -286,3 +286,158 @@ def topk_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_t", "_rn")
     )
+
+
+def nb_multiclass_weights(
+    labeled: DataFrame,
+    *,
+    label_col: str = "label",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """K-class generalization of :func:`nb_logodds_weights` — the
+    fineweb-edu-style ordinal grader (integer grades 0..K-1, argmax of
+    per-class Naive-Bayes log-posteriors), closed form: per-class token
+    counts + per-class doc priors, no iterative optimizer.
+
+    Returns ``(weights, classes)``:
+    - ``weights``: DENSE ``(token_h, label, w_milli)`` — every vocab
+      token carries a smoothed in-class log-prob for EVERY class
+      (``w = ln((c + a) / (T_k + a * (V + 1)))``, c possibly 0), so a
+      scoring join on token_h yields all K classes at once.  K x the
+      binary table's size; still vocabulary-bounded and broadcastable.
+    - ``classes``: ``(label, prior_milli, oov_milli)`` — per-class doc
+      log-prior and OOV floor (the reserved ``+ 1`` vocab slot).
+
+    NULL labels are ignored (the binary convention); zero-token seed
+    docs contribute to priors but not to token counts.  All weights
+    round to integer millis so scores are exact cross-engine sums.
+    """
+    seed = labeled.filter(F.col(label_col).isNotNull()).select(
+        F.col(label_col).cast("int").alias("label"), F.col(text_col)
+    )
+    stoks = seed.select(
+        "label", F.explode(_tokens(text_col)).alias("_w")
+    ).select("label", portable_hash60(F.col("_w")).alias("token_h"))
+    counts = stoks.groupBy("token_h", "label").agg(
+        F.count(F.lit(1)).cast("double").alias("_c")
+    )
+    klass = (
+        seed.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("double").alias("_nd"))
+        .join(
+            stoks.groupBy("label").agg(
+                F.count(F.lit(1)).cast("double").alias("_tk")
+            ),
+            "label",
+        )
+    )
+    totals = klass.agg(F.sum("_nd").alias("_n")).crossJoin(
+        counts.select("token_h").distinct().agg(
+            F.count(F.lit(1)).cast("double").alias("_v")
+        )
+    )
+    klass = klass.crossJoin(F.broadcast(totals))
+
+    def _milli(x: Column) -> Column:
+        return F.round(x * SCORE_SCALE, 0).cast("long")
+
+    denom = F.col("_tk") + F.lit(alpha) * (F.col("_v") + 1)
+    classes = klass.select(
+        "label",
+        _milli(F.log(F.col("_nd") / F.col("_n"))).alias("prior_milli"),
+        _milli(F.log(F.lit(alpha) / denom)).alias("oov_milli"),
+    )
+    vocab = counts.select("token_h").distinct()
+    dense = (
+        vocab.crossJoin(F.broadcast(klass))
+        .join(counts, ["token_h", "label"], "left")
+        .select(
+            "token_h",
+            "label",
+            _milli(
+                F.log(
+                    (F.coalesce(F.col("_c"), F.lit(0.0)) + F.lit(alpha))
+                    / denom
+                )
+            ).alias("w_milli"),
+        )
+    )
+    return dense, classes
+
+
+def grade_documents(
+    df: DataFrame,
+    weights: DataFrame,
+    classes: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, grade, score_milli, n_tokens) — the argmax class per
+    document under a :func:`nb_multiclass_weights` model:
+    ``score(doc, k) = prior(k) + sum(w of in-vocab tokens)
+    + n_oov * oov(k)``, exact integer millis; ties break by
+    (score DESC, label ASC).  Zero-token docs are excluded (nothing
+    measured — route them to the length filters, the lm.py
+    convention).
+
+    Plan: the dense weight table broadcasts; the corpus explodes once
+    to (id, token_h); because the table is dense over the vocabulary,
+    one inner join + groupBy(id, label) yields every class's hit sum
+    AND the per-class in-vocab count together; docs with zero vocab
+    hits fall back to prior + n * oov rows.  No corpus-side cross join
+    by K."""
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("_w")
+    ).select(id_col, portable_hash60(F.col("_w")).alias("token_h"))
+    n_tok = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    hits = (
+        toks.join(F.broadcast(weights), "token_h")
+        .groupBy(id_col, "label")
+        .agg(
+            F.sum("w_milli").alias("_s"),
+            F.count(F.lit(1)).alias("_n_in"),
+        )
+    )
+    no_hit = (
+        n_tok.join(hits.select(id_col).distinct(), id_col, "left_anti")
+        .crossJoin(F.broadcast(classes.select("label")))
+        .select(
+            id_col,
+            "label",
+            F.lit(0).cast("long").alias("_s"),
+            F.lit(0).cast("long").alias("_n_in"),
+        )
+    )
+    scored = (
+        hits.unionByName(no_hit)
+        .join(F.broadcast(classes), "label")
+        .join(n_tok, id_col)
+        .select(
+            id_col,
+            "label",
+            (
+                F.col("prior_milli")
+                + F.col("_s")
+                + (F.col("n_tokens") - F.col("_n_in")) * F.col("oov_milli")
+            ).alias("score_milli"),
+            "n_tokens",
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("score_milli")).alias("_neg"),
+                F.col("label").alias("label"),
+                F.col("score_milli").alias("score_milli"),
+                F.col("n_tokens").alias("n_tokens"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        id_col,
+        F.col("_b.label").alias("grade"),
+        F.col("_b.score_milli").alias("score_milli"),
+        F.col("_b.n_tokens").alias("n_tokens"),
+    )

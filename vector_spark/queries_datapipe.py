@@ -1541,3 +1541,93 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("ids_checksum"),
         F.sum("score_milli").alias("score_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-class ordinal quality grading (round 4): multiclass NB + top-k
+
+
+@register(
+    "doc_quality_grades",
+    f"""
+WITH {_TOK_CTE.lstrip()},
+seed AS (SELECT doc_id, CAST((doc_id // 2) % 6 AS INT) AS label
+         FROM documents WHERE doc_id % 2 = 0),
+stok AS (SELECT s.label, t.h FROM tok t JOIN seed s USING (doc_id)),
+kls AS (SELECT label, CAST(count(*) AS DOUBLE) AS tk FROM stok GROUP BY label),
+kd AS (SELECT label, CAST(count(*) AS DOUBLE) AS nd FROM seed GROUP BY label),
+tot AS (SELECT sum(nd) AS n FROM kd),
+vsz AS (SELECT CAST(count(DISTINCT h) AS DOUBLE) AS v FROM stok),
+klass AS (SELECT kd.label,
+                 CAST(round(ln(kd.nd / tot.n) * 1000, 0) AS BIGINT) AS prior,
+                 CAST(round(ln(0.5 / (kls.tk + 0.5 * (vsz.v + 1))) * 1000, 0)
+                      AS BIGINT) AS oov,
+                 kls.tk, vsz.v
+          FROM kd JOIN kls USING (label) CROSS JOIN tot CROSS JOIN vsz),
+cnt AS (SELECT h, label, CAST(count(*) AS DOUBLE) AS c
+        FROM stok GROUP BY h, label),
+vocab AS (SELECT DISTINCT h FROM stok),
+wv AS (SELECT vocab.h, k.label,
+              CAST(round(ln((coalesce(cnt.c, 0) + 0.5)
+                            / (k.tk + 0.5 * (k.v + 1))) * 1000, 0)
+                   AS BIGINT) AS w
+       FROM vocab CROSS JOIN klass k
+       LEFT JOIN cnt ON cnt.h = vocab.h AND cnt.label = k.label),
+ntok AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+hits AS (SELECT t.doc_id, w.label, sum(w.w) AS s,
+                CAST(count(*) AS BIGINT) AS n_in
+         FROM tok t JOIN wv w USING (h) GROUP BY t.doc_id, w.label),
+nohit AS (SELECT ntok.doc_id, k.label, CAST(0 AS BIGINT) AS s,
+                 CAST(0 AS BIGINT) AS n_in
+          FROM ntok CROSS JOIN klass k
+          WHERE ntok.doc_id NOT IN (SELECT DISTINCT doc_id FROM hits)),
+gsc AS (SELECT a.doc_id, a.label,
+               k.prior + a.s + (ntok.n - a.n_in) * k.oov AS score
+        FROM (SELECT * FROM hits UNION ALL SELECT * FROM nohit) a
+        JOIN klass k USING (label) JOIN ntok USING (doc_id)),
+graded AS (SELECT doc_id, label AS grade, score AS score_milli FROM gsc
+           QUALIFY row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, label) = 1),
+top5 AS (SELECT grade, CAST(sum(doc_id) AS BIGINT) AS top5_ids_checksum
+         FROM (SELECT grade, doc_id FROM graded
+               QUALIFY row_number() OVER (
+                   PARTITION BY grade
+                   ORDER BY score_milli DESC, doc_id) <= 5)
+         GROUP BY grade)
+SELECT g.grade,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(g.doc_id) AS BIGINT) AS ids_checksum,
+       CAST(sum(g.score_milli) AS BIGINT) AS score_checksum,
+       any_value(t.top5_ids_checksum) AS top5_ids_checksum
+FROM graded g JOIN top5 t ON t.grade = g.grade
+GROUP BY g.grade""",
+)
+def q_doc_quality_grades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fineweb-edu-style ordinal grading (datapipe/classify.py:
+    nb_multiclass_weights + grade_documents): a 6-class closed-form NB
+    grader trained on the deterministic seed half (even doc_ids,
+    pseudo-label (doc_id div 2) % 6), every doc argmax-graded in exact
+    integer millis, composed with topk_per_group (top-5 per grade).
+    Per-grade counts + checksums + top-5 id checksums under the full
+    hash gate; the oracle re-derives priors, dense per-class weights,
+    OOV floors, the argmax, and the top-k in pure SQL."""
+    from vector_spark.datapipe.classify import (
+        grade_documents, nb_multiclass_weights, topk_per_group,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seed = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.expr("doc_id div 2") % 6).cast("int")
+    )
+    weights, classes = nb_multiclass_weights(seed)
+    graded = grade_documents(docs, weights, classes)
+    rollup = graded.groupBy("grade").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("ids_checksum"),
+        F.sum("score_milli").alias("score_checksum"),
+    )
+    top5 = topk_per_group(
+        graded, 5, group_col="grade", score_col="score_milli",
+        id_col="doc_id",
+    ).groupBy("grade").agg(F.sum("doc_id").alias("top5_ids_checksum"))
+    return rollup.join(top5, "grade")

@@ -68,10 +68,10 @@ _PRIORITY: list[str] = [
     # conditions / remap / scale chain
     "datadog_tags_facets", "redact_pii",
     "remap_program", "scale_chain_rows", "multiline_records",
-    # per-operator semantics (dedupe_first_wins rotated out r4 — green
-    # since r1, doc_exact_dedup keeps the dedup class in-window; its
-    # slot goes to doc_lang_id)
-    "throttle_5_per_10m",
+    # per-operator semantics (dedupe_first_wins + throttle_5_per_10m
+    # rotated out r4 — green since r1; doc_exact_dedup keeps the dedup
+    # class in-window and the throttle operator stays pytest-oracled;
+    # their slots go to doc_lang_id + doc_quality_grades)
     "log_to_metric_agg",
     # round-3 breadth: grok base patterns + framing
     "grok_apache_combined", "octet_framed_syslog",
@@ -94,6 +94,8 @@ _PRIORITY: list[str] = [
     "doc_bpe_token_counts",
     # r4 new capability: 28-language hashed n-gram langid (full oracle)
     "doc_lang_id",
+    # r4 new capability: 6-class ordinal quality grading (full oracle)
+    "doc_quality_grades",
 ]
 
 
