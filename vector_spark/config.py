@@ -104,6 +104,26 @@ def _build_source(spark: SparkSession, cfg: dict) -> DataFrame:
         return read_text_decoded(
             spark, cfg["path"], cfg.get("codec", "bytes"), cfg.get("schema")
         )
+    if typ == "otlp":
+        # OTLP protobuf export requests, one per binary file (the HTTP
+        # body model) — decoding/format/otlp.rs semantics via the
+        # pure-Python wire decoder (sources/otlp.py).  flatten: true
+        # (default) explodes typed LogRecord rows; flatten: false keeps
+        # one schemaless JSON event per request like the reference.
+        from pyspark.sql import functions as F
+
+        from vector_spark.sources.otlp import (
+            DEFAULT_SIGNALS, decode_otlp, otlp_log_records,
+        )
+
+        whole = spark.read.format("binaryFile").load(cfg["path"])
+        if cfg.get("flatten", True):
+            return otlp_log_records(whole, value_col="content")
+        signals = tuple(cfg.get("signal_types", DEFAULT_SIGNALS))
+        return whole.select(
+            decode_otlp(F.col("content"), signals).alias("decoded"),
+            F.col("path"),
+        )
     if typ == "demo_logs":
         from vector_spark.sources.readers import demo_logs
 
