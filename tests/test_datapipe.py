@@ -233,12 +233,16 @@ def test_multimodal_feature_plumbing(spark):
     assert sorted(r["feat"] for r in rows) == sorted(r["feat"] for r in again)
 
 
-def test_multimodal_real_decode_is_explicit_stub(spark):
-    import pytest as _pytest
-
+def test_multimodal_real_decode_unknown_formats_flag_not_raise(spark):
+    """fake=False on payloads without a pure-Python decoder (the
+    synthetic BLOB bytes stand in for JPEG/PNG): per-row ok=false with
+    NULL features — the error-channel convention — never a job kill.
+    Real BMP/PPM/WAV decode is covered in tests/test_media_codecs.py."""
     media = synth_media(spark, 4)
-    with _pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        extract_features(media, fake=False).collect()
+    rows = extract_features(media, fake=False).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["ok"] is False and r["feat"] is None
 
 
 def test_frame_sample_plan(spark):
