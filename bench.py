@@ -334,6 +334,52 @@ def main() -> None:
         .collect(),
     )
 
+    # round-4 ops: BPE budgets / language ID / ordinal grading over the
+    # documents corpus (same repartition rationale as the dedup chain)
+    def _docs():
+        return (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(cpus)
+        )
+
+    def _bpe() -> None:
+        from vector_spark.datapipe.bpe import bpe_token_counts, learn_bpe
+
+        corpus = _docs().select("doc_id", "source", "text")
+        merges = learn_bpe(corpus, num_merges=512, max_words=50_000)
+        bpe_token_counts(corpus, merges).groupBy("source").agg(
+            F.sum("n_bpe_tokens")
+        ).collect()
+
+    bench("bpe_tokens", _bpe)
+
+    def _lang_id() -> None:
+        from vector_spark.datapipe.langid import predict_lang
+
+        predict_lang(_docs().select("doc_id", "text")).groupBy(
+            "pred_lang"
+        ).count().collect()
+
+    bench("lang_id", _lang_id)
+
+    def _grades() -> None:
+        from vector_spark.datapipe.classify import (
+            grade_documents, nb_multiclass_weights, topk_per_group,
+        )
+
+        corpus = _docs().select("doc_id", "text")
+        seed = corpus.filter(F.col("doc_id") % 2 == 0).withColumn(
+            "label", (F.expr("doc_id div 2") % 6).cast("int")
+        )
+        weights, classes = nb_multiclass_weights(seed)
+        graded = grade_documents(corpus, weights, classes)
+        topk_per_group(
+            graded, 5, group_col="grade", score_col="score_milli",
+            id_col="doc_id",
+        ).count()
+
+    bench("quality_grades", _grades)
+
     # the reference's own scaling-regression DAG (12-step sync remap
     # chain, regression/cases/scale_sync_only_8_cpu) re-expressed —
     # apples-to-apples with the reference's two-size experiment
