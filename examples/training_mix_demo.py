@@ -3,15 +3,18 @@ end to end over the sf0.001 documents table — every stage is the
 driver-gated operator, composed in the order a production corpus run
 uses them:
 
+    0. language id            predict_lang (28-language n-gram profiles)
     1. rule-based quality     gopher_quality_flags   (Gopher/C4 rules)
     2. model-based quality    nb_logodds_weights + classifier_scores
+       + ordinal grades       nb_multiclass_weights + grade_documents
     3. LM-based quality       unigram_lm + perplexity_scores
                               + ccnet_buckets (head/middle/tail)
     4. decontamination        decontaminate (13-gram benchmark overlap)
     5. near-dedup             minhash + LSH + jaccard + dup_clusters
                               (one representative per duplicate group)
     6. mix + split            temperature_mix, hash_split
-    7. packing                pack_sequences (fixed token budget)
+    7. packing                pack_sequences over REAL byte-level BPE
+                              token counts (learn_bpe + bpe_token_counts)
 
     python examples/training_mix_demo.py [sf_dir]
 """
@@ -26,10 +29,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from vector_spark import get_spark  # noqa: E402
+from vector_spark.datapipe.bpe import (  # noqa: E402
+    bpe_token_counts,
+    learn_bpe,
+)
 from vector_spark.datapipe.classify import (  # noqa: E402
     classifier_scores,
+    grade_documents,
     nb_logodds_weights,
+    nb_multiclass_weights,
 )
+from vector_spark.datapipe.langid import predict_lang  # noqa: E402
 from vector_spark.datapipe.dedup import (  # noqa: E402
     decontaminate,
     dup_clusters,
@@ -54,6 +64,13 @@ def main() -> None:
     n0 = docs.count()
     print(f"corpus: {n0} docs from {sf_dir}")
 
+    # 0. language id from the text itself (metadata lang untrusted at
+    #    web scale): 28-language n-gram profile argmax
+    langs = predict_lang(docs).withColumnRenamed("pred_lang", "lang_pred")
+    print("0. language id:",
+          {r["lang_pred"]: r["count"]
+           for r in langs.groupBy("lang_pred").count().collect()})
+
     # 1. rule-based quality (Gopher + C4 tripwires)
     flagged = gopher_quality_flags(docs)
     rules_ok = flagged.filter(F.col("keep")).select("doc_id")
@@ -67,6 +84,16 @@ def main() -> None:
     scored = classifier_scores(docs, nb_logodds_weights(seed))
     clf_ok = scored.filter(F.col("keep")).select("doc_id")
     print(f"2. classifier keeps {clf_ok.count()}/{n0}")
+
+    #    ordinal grades (fineweb-edu shape): 6-class NB, keep grade >= 3
+    gseed = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.expr("doc_id div 2") % 6).cast("int")
+    )
+    weights6, classes6 = nb_multiclass_weights(gseed)
+    grades = grade_documents(docs, weights6, classes6)
+    print("   grade histogram:",
+          {r["grade"]: r["count"]
+           for r in grades.groupBy("grade").count().collect()})
 
     # 3. CCNet perplexity buckets: drop each language's tail third
     lm = unigram_lm(docs.filter(F.col("doc_id") % 5 == 0))
@@ -109,11 +136,13 @@ def main() -> None:
     splits = hash_split(mixed, {"train": 0.9, "val": 0.1})
     splits.groupBy("lang", "split").count().orderBy("lang", "split").show()
 
-    # 7. pack the train split into fixed-token-budget sequences
-    train = splits.filter(F.col("split") == "train").withColumn(
-        "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
+    # 7. pack the train split into fixed-token-budget sequences —
+    #    budgets counted in REAL byte-level BPE tokens, not whitespace
+    merges = learn_bpe(kept, num_merges=256, max_words=50_000)
+    train = bpe_token_counts(
+        splits.filter(F.col("split") == "train"), merges
     )
-    packed = pack_sequences(train, budget=512)
+    packed = pack_sequences(train, budget=512, token_col="n_bpe_tokens")
     packed.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("docs_in_seq"),
         F.sum("n_tokens").alias("tokens"),
