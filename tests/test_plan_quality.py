@@ -151,3 +151,65 @@ def test_sq8_topk_broadcasts_queries_only(spark):
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_langid_plan_broadcast_no_cartesian(spark):
+    """predict_lang: the profile table must broadcast-join the exploded
+    gram stream, with no cartesian product anywhere (the doc x language
+    cross join is designed out via the hits-only candidate set)."""
+    from vector_spark.datapipe.langid import predict_lang
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(predict_lang(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_grades_plan_weights_broadcast(spark):
+    """grade_documents: the dense vocab x class weight table
+    broadcasts, nothing is a cartesian product, and the corpus-side
+    tokenize/explode subtree is computed at most twice (n_tokens +
+    hits) — the round-3 anti-join formulation recomputed it a third
+    time for the no-hit fallback."""
+    from vector_spark.datapipe.classify import (
+        grade_documents, nb_multiclass_weights,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seed = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.expr("doc_id div 2") % 6).cast("int")
+    )
+    weights, classes = nb_multiclass_weights(seed)
+    plan = _plan(grade_documents(docs, weights, classes))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the no-hit fallback must be the Column expression over collected
+    # class constants, NOT an anti-join (which recomputed the whole
+    # corpus tokenize+join+aggregate subtree a second time in r3)
+    assert "LeftAnti" not in plan
+
+
+def test_topk_per_group_no_full_group_window(spark):
+    """topk_per_group: the coarse bucket pass must keep the raw-score
+    stream out of any window — only (group, bucket) and in-bucket
+    (group, score) histograms are windowed, never the ungrouped rows —
+    and nothing lands in a single partition."""
+    from vector_spark.datapipe.classify import topk_per_group
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = docs.select(
+        "source", "doc_id", (F.col("doc_id") * 37 % 100003).alias("score_milli")
+    )
+    plan = _plan(
+        topk_per_group(scored, 10, group_col="source",
+                       score_col="score_milli", id_col="doc_id")
+    )
+    assert "SinglePartition" not in plan
+    # every Window sits above an aggregate (histogram), so each window
+    # input is pre-shrunk: exactly 3 window operators (coarse cum,
+    # in-bucket cum, final row_number) — and the final rank compiles to
+    # WindowGroupLimit (partial+final top-k pushdown), so even the
+    # survivor set is rank-limited before the shuffle
+    assert plan.count("Window [") == 3, plan.count("Window [")
+    assert "WindowGroupLimit" in plan

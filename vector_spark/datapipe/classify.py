@@ -382,12 +382,29 @@ def grade_documents(
     measured — route them to the length filters, the lm.py
     convention).
 
-    Plan: the dense weight table broadcasts; the corpus explodes once
-    to (id, token_h); because the table is dense over the vocabulary,
-    one inner join + groupBy(id, label) yields every class's hit sum
-    AND the per-class in-vocab count together; docs with zero vocab
-    hits fall back to prior + n * oov rows.  No corpus-side cross join
-    by K."""
+    Plan: the dense weight table broadcasts; the corpus explodes to
+    (id, token_h); because the table is dense over the vocabulary, one
+    inner join + groupBy(id, label) yields every class's hit sum AND
+    the per-class in-vocab count together.  Docs with zero vocab hits
+    take a FALLBACK grade computed from the collected class constants
+    (K bounded rows — the IVF-training-sample pattern) as a pure
+    Column expression: ``argmax_k(prior_k + n_tokens * oov_k)`` —
+    mathematically identical to scoring them through the join path,
+    without an anti-join that would recompute the whole explode
+    subtree a second time (measured in the plan: the round-4 rewrite
+    removed one full tokenize+join+aggregate recomputation).  No
+    corpus-side cross join by K."""
+    kl = sorted(
+        (int(r["label"]), int(r["prior_milli"]), int(r["oov_milli"]))
+        for r in classes.select(
+            "label", "prior_milli", "oov_milli"
+        ).collect()
+    )
+    if not kl:
+        raise ValueError(
+            "grade_documents: classes frame is empty (no labeled seed "
+            "docs with tokens)"
+        )
     toks = df.select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("_w")
     ).select(id_col, portable_hash60(F.col("_w")).alias("token_h"))
@@ -400,19 +417,8 @@ def grade_documents(
             F.count(F.lit(1)).alias("_n_in"),
         )
     )
-    no_hit = (
-        n_tok.join(hits.select(id_col).distinct(), id_col, "left_anti")
-        .crossJoin(F.broadcast(classes.select("label")))
-        .select(
-            id_col,
-            "label",
-            F.lit(0).cast("long").alias("_s"),
-            F.lit(0).cast("long").alias("_n_in"),
-        )
-    )
     scored = (
-        hits.unionByName(no_hit)
-        .join(F.broadcast(classes), "label")
+        hits.join(F.broadcast(classes), "label")
         .join(n_tok, id_col)
         .select(
             id_col,
@@ -422,7 +428,6 @@ def grade_documents(
                 + F.col("_s")
                 + (F.col("n_tokens") - F.col("_n_in")) * F.col("oov_milli")
             ).alias("score_milli"),
-            "n_tokens",
         )
     )
     best = scored.groupBy(id_col).agg(
@@ -431,13 +436,34 @@ def grade_documents(
                 (-F.col("score_milli")).alias("_neg"),
                 F.col("label").alias("label"),
                 F.col("score_milli").alias("score_milli"),
-                F.col("n_tokens").alias("n_tokens"),
             )
         ).alias("_b")
     )
-    return best.select(
-        id_col,
-        F.col("_b.label").alias("grade"),
-        F.col("_b.score_milli").alias("score_milli"),
-        F.col("_b.n_tokens").alias("n_tokens"),
+    # no-hit fallback: greatest-of-structs picks (max score, then min
+    # label via the negated tiebreak) among prior_k + n * oov_k
+    n = F.col("n_tokens").cast("long")
+    fb = F.greatest(
+        *[
+            F.struct(
+                (F.lit(prior) + n * F.lit(oov)).alias("_s"),
+                F.lit(-label).alias("_nl"),
+                F.lit(label).alias("label"),
+            )
+            for label, prior, oov in kl
+        ]
+    ) if len(kl) > 1 else F.struct(
+        (F.lit(kl[0][1]) + n * F.lit(kl[0][2])).alias("_s"),
+        F.lit(-kl[0][0]).alias("_nl"),
+        F.lit(kl[0][0]).alias("label"),
+    )
+    return (
+        n_tok.join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_b.label"), fb["label"]).alias("grade"),
+            F.coalesce(F.col("_b.score_milli"), fb["_s"]).alias(
+                "score_milli"
+            ),
+            "n_tokens",
+        )
     )
