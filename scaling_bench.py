@@ -22,6 +22,15 @@ def run_at(cpus: int, n_turns: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_BENCH_N"] = str(n_turns)
+    # SCALE_MODE=jvm: run on local-cluster[cpus,1,mem] — cpus separate
+    # single-core executor JVMs with their own heaps — instead of
+    # local[cpus] threads in one shared-heap JVM.  This isolates
+    # allocation-rate contention: a wide local[] leg shares one heap
+    # and one GC, which the round-3 19.2M diagnosis identified as the
+    # substrate bottleneck; separate JVMs are what a real cluster has.
+    if os.environ.get("SCALE_MODE") == "jvm":
+        mem_mb = int(os.environ.get("SCALE_EXEC_MEM_MB", "4096"))
+        env["SPARK_GRAFT_MASTER"] = f"local-cluster[{cpus},1,{mem_mb}]"
     # SCALE_TARGET=chain runs the reference's own 12-step remap chain
     # (scale_sync_only) instead of the flagship pipeline
     # SCALE_TARGET: chain = the reference's own 12-step remap chain;
@@ -80,6 +89,9 @@ def main() -> None:
     fname = {
         "chain": "SCALING_CHAIN.json", "dedup": "SCALING_DEDUP.json"
     }.get(os.environ.get("SCALE_TARGET"), "SCALING.json")
+    if os.environ.get("SCALE_MODE") == "jvm":
+        fname = fname.replace(".json", "_JVM.json")
+        out["mode"] = "local-cluster (separate executor JVMs)"
     out["target"] = os.environ.get("SCALE_TARGET", "pipeline")
     with open(fname, "w") as f:
         json.dump(out, f, indent=2)

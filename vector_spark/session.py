@@ -26,7 +26,10 @@ def get_spark(
     efficiency — the sandbox substitute for N vs 4N executors.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
+    # SPARK_GRAFT_MASTER overrides the master wholesale — used by the
+    # scaling bench to run the identical job on local-cluster[N,1,mem]
+    # (real separate executor JVMs, no shared heap) instead of local[N]
+    master = os.environ.get("SPARK_GRAFT_MASTER") or master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
 
     builder = (
@@ -43,6 +46,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master.startswith("local-cluster"):
+        # executors are separate JVMs whose Python workers start in the
+        # Spark work dir — ship the package via the --py-files zip
+        # (the north rule's spark-submit invocation; package.py builds
+        # it) with a PYTHONPATH fallback to the repo root
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zip_path = os.path.join(repo, "dist", "vector_spark.zip")
+        if os.path.exists(zip_path):
+            builder = builder.config("spark.submit.pyFiles", zip_path)
+        builder = builder.config("spark.executorEnv.PYTHONPATH", repo)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
