@@ -1631,3 +1631,70 @@ def q_doc_quality_grades(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
     ).groupBy("grade").agg(F.sum("doc_id").alias("top5_ids_checksum"))
     return rollup.join(top5, "grade")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (span-level) dedup (round 4)
+
+_SPAN_K = 13
+
+
+@register(
+    "doc_span_dedup",
+    f"""
+{_DUP_CTE.lstrip()},
+w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws
+      FROM dup WHERE text IS NOT NULL),
+base AS (SELECT doc_id, len(ws) AS n_tokens FROM w),
+spans AS (
+  SELECT doc_id, i AS pos,
+         {_H60.format(e=f"array_to_string(ws[i+1:i+{_SPAN_K}], ' ')")}
+             AS span_h
+  FROM (SELECT doc_id, ws,
+               unnest(range(greatest(len(ws) - {_SPAN_K - 1}, 0))) AS i
+        FROM w)),
+dupspan AS (SELECT span_h FROM spans GROUP BY span_h HAVING count(*) >= 2),
+marked AS (SELECT s.doc_id, s.pos
+           FROM spans s SEMI JOIN dupspan d ON s.span_h = d.span_h),
+cov AS (
+  SELECT doc_id,
+         greatest(0, (pos + {_SPAN_K - 1})
+           - greatest(pos, coalesce(max(pos + {_SPAN_K - 1}) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1,
+               pos))
+           + 1) AS c
+  FROM marked),
+per_doc AS (SELECT doc_id, sum(c) AS dup_tokens FROM cov GROUP BY doc_id),
+stats AS (
+  SELECT b.doc_id, b.n_tokens,
+         coalesce(p.dup_tokens, 0) AS dup_tokens,
+         CAST(floor(coalesce(p.dup_tokens, 0) * 1000
+                    / greatest(b.n_tokens, 1)) AS BIGINT) AS dup_frac_milli
+  FROM base b LEFT JOIN per_doc p USING (doc_id))
+SELECT dup_frac_milli // 100 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens_sum,
+       CAST(sum(doc_id) AS BIGINT) AS ids_checksum,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_checksum
+FROM stats GROUP BY bucket""",
+)
+def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span-level dedup (datapipe/span_dedup.py) over
+    the dup-injected corpus: rolling 13-gram repetition marks
+    duplicated spans, per-doc coverage is the exact merged-interval
+    union via a bounded per-doc window (never a k-times position
+    explosion).  Per-coverage-decile rollup under the full hash gate;
+    exact clones land in the 1000-milli bucket, perturbed clones just
+    below."""
+    from vector_spark.datapipe.span_dedup import span_dedup_stats
+
+    stats = span_dedup_stats(_dup_df(spark, sf_dir), k=_SPAN_K)
+    return stats.groupBy(
+        F.floor(F.col("dup_frac_milli") / 100).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dup_tokens").alias("dup_tokens_sum"),
+        F.sum("doc_id").alias("ids_checksum"),
+        F.sum("n_tokens").alias("tokens_checksum"),
+    )

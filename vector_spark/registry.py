@@ -66,8 +66,11 @@ _PRIORITY: list[str] = [
     # reduce / sessions
     "reduce_conversations",
     # conditions / remap / scale chain
+    # (multiline_records rotated out r4 — green r1-r3; the framing
+    # family stays repped by octet_framed_syslog; its slot goes to
+    # doc_span_dedup)
     "datadog_tags_facets", "redact_pii",
-    "remap_program", "scale_chain_rows", "multiline_records",
+    "remap_program", "scale_chain_rows",
     # per-operator semantics (dedupe_first_wins + throttle_5_per_10m
     # rotated out r4 — green since r1; doc_exact_dedup keeps the dedup
     # class in-window and the throttle operator stays pytest-oracled;
@@ -96,6 +99,8 @@ _PRIORITY: list[str] = [
     "doc_lang_id",
     # r4 new capability: 6-class ordinal quality grading (full oracle)
     "doc_quality_grades",
+    # r4 new capability: ExactSubstr span-level dedup (full oracle)
+    "doc_span_dedup",
 ]
 
 
