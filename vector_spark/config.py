@@ -124,6 +124,36 @@ def _build_source(spark: SparkSession, cfg: dict) -> DataFrame:
             decode_otlp(F.col("content"), signals).alias("decoded"),
             F.col("path"),
         )
+    if typ == "avro":
+        # Avro object container files, decoded jar-free
+        # (decoding/format/avro.rs; sources/avro.py pure-Python reader)
+        from vector_spark.sources.avro import read_avro
+
+        return read_avro(spark, cfg["path"], schema_json=cfg.get("schema"))
+    if typ == "protobuf":
+        # one binary message per file (the HTTP-body model), decoded
+        # jar-free against either descriptor surface the reference
+        # supports: desc_file (binary FileDescriptorSet,
+        # decoding/format/protobuf.rs:79-83) or a .proto source
+        from pyspark.sql import functions as F
+
+        from vector_spark.sources.protobuf import (
+            from_protobuf_py, parse_descriptor_set, parse_proto_text,
+        )
+
+        if "desc_file" in cfg:
+            with open(cfg["desc_file"], "rb") as fh:
+                registry = parse_descriptor_set(fh.read())
+        else:
+            with open(cfg["proto_file"]) as fh:
+                registry = parse_proto_text(fh.read())
+        whole = spark.read.format("binaryFile").load(cfg["path"])
+        return whole.select(
+            from_protobuf_py(
+                F.col("content"), registry, cfg["message_type"]
+            ).alias("decoded"),
+            F.col("path"),
+        ).select("decoded.*", "path")
     if typ == "demo_logs":
         from vector_spark.sources.readers import demo_logs
 

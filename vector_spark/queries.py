@@ -1794,3 +1794,95 @@ def q_join_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@register(
+    "avro_roundtrip",
+    transcripts_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx, role, tool
+FROM transcripts""",
+)
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro codec under the full value-hash gate: every turn's key
+    fields are encoded to an Avro binary datum and decoded back with
+    the pure-Python codec (sources/avro.py; reference:
+    lib/codecs/src/decoding/format/avro.rs + encoding/format/avro.rs).
+    The oracle selects the same fields directly, so any wire-format
+    asymmetry (zigzag, unions, field order) breaks the hash."""
+    import json as _json
+
+    from vector_spark.sources.avro import encode_avro_py, from_avro_py
+
+    sch = _json.dumps({
+        "type": "record", "name": "Turn",
+        "fields": [
+            {"name": "conv_id", "type": "string"},
+            {"name": "turn_idx", "type": "int"},
+            {"name": "role", "type": ["null", "string"]},
+            {"name": "tool", "type": ["null", "string"]},
+        ],
+    })
+    t = load_transcripts(spark, sf_dir)
+    enc = t.select(
+        encode_avro_py(
+            sch, F.col("conv_id"), F.col("turn_idx"),
+            F.col("role"), F.col("tool"),
+        ).alias("avro")
+    )
+    r = enc.select(from_avro_py(F.col("avro"), sch).alias("r"))
+    return r.select(
+        F.col("r.conv_id").alias("conv_id"),
+        F.col("r.turn_idx").alias("turn_idx"),
+        F.col("r.role").alias("role"),
+        F.col("r.tool").alias("tool"),
+    )
+
+
+@register(
+    "protobuf_roundtrip",
+    transcripts_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx, role,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix
+FROM transcripts""",
+)
+def q_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf codec under the full value-hash gate: key fields encode
+    to a binary message and decode back through the descriptor-driven
+    pure-Python codec (sources/protobuf.py; reference:
+    lib/codecs/src/decoding/format/protobuf.rs desc_file/message_type).
+    The descriptor comes from .proto source text; the same registry
+    round-trips through a binary FileDescriptorSet in
+    tests/test_protobuf.py."""
+    from vector_spark.sources.protobuf import (
+        encode_protobuf_py, from_protobuf_py, parse_proto_text,
+    )
+
+    reg = parse_proto_text("""
+        syntax = "proto3";
+        package pipeline;
+        message Turn {
+          string conv_id = 1;
+          int32 turn_idx = 2;
+          string role = 3;
+          sint64 ts_unix = 4;
+        }
+    """)
+    t = load_transcripts(spark, sf_dir)
+    enc = t.select(
+        encode_protobuf_py(
+            reg, "pipeline.Turn",
+            F.col("conv_id"), F.col("turn_idx"), F.col("role"),
+            F.unix_timestamp("ts"),
+        ).alias("pb")
+    )
+    r = enc.select(
+        from_protobuf_py(F.col("pb"), reg, "pipeline.Turn").alias("r")
+    )
+    return r.select(
+        F.col("r.conv_id").alias("conv_id"),
+        F.col("r.turn_idx").alias("turn_idx"),
+        F.col("r.role").alias("role"),
+        F.col("r.ts_unix").alias("ts_unix"),
+    )

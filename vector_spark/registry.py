@@ -50,6 +50,11 @@ def register(name: str, oracle: str | None):
 #   doc_classifier_scores, doc_topk_per_source, doc_dsir_selection,
 #   doc_ccnet_buckets, doc_boilerplate, doc_train_split, emb_pq_topk,
 #   emb_dup_clusters, doc_corpus_stats
+# r4 late rotation (new jar-free codecs need first driver evidence):
+#   route_unmatched + aggregate_by_role_diff rotate out (green since
+#   r1; route stays repped by route_sink_errors/exclusive_route_counts,
+#   aggregate by aggregate_errors_1m/pipeline_stats) in favor of
+#   avro_roundtrip + protobuf_roundtrip (full value-hash oracles).
 _PRIORITY: list[str] = [
     # parse / order / enrich (turns_stable_order rotated out r4: the
     # ordering contract is exercised by every pipeline query; its slot
@@ -58,11 +63,13 @@ _PRIORITY: list[str] = [
     "enrich_lookup",
     # route: errors sink + unmatched + exclusive counts keep the
     # operator in-window; per-sink variants stay demoted
-    "route_sink_errors", "route_unmatched",
+    "route_sink_errors",
     "exclusive_route_counts",
     # aggregate / pipeline
-    "aggregate_errors_1m", "aggregate_by_role_diff",
+    "aggregate_errors_1m",
     "pipeline_stats",
+    # r4 jar-free codecs (avro.py / protobuf.py), full hash oracles
+    "avro_roundtrip", "protobuf_roundtrip",
     # reduce / sessions
     "reduce_conversations",
     # conditions / remap / scale chain
