@@ -1,0 +1,160 @@
+"""CBOR codec (RFC 8949) + late-round VRL additions — hand-built
+bytes from the RFC's appendix-A examples pin spec conformance."""
+
+import json
+import struct
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from vector_spark.functions.cbor import (
+    decode_cbor,
+    decode_cbor_py,
+    encode_cbor,
+    encode_cbor_py,
+)
+from vector_spark.functions.vrl import (
+    parse_tokens,
+    screamingsnakecase,
+    unzip_arrays,
+    uuid_v7,
+)
+
+
+# RFC 8949 appendix A examples (diagnostic, hex) — independent of our
+# encoder
+RFC_CASES = [
+    (bytes.fromhex("00"), 0),
+    (bytes.fromhex("17"), 23),
+    (bytes.fromhex("1818"), 24),
+    (bytes.fromhex("1a000f4240"), 1000000),
+    (bytes.fromhex("20"), -1),
+    (bytes.fromhex("3863"), -100),
+    (bytes.fromhex("f4"), False),
+    (bytes.fromhex("f5"), True),
+    (bytes.fromhex("f6"), None),
+    (bytes.fromhex("f90000"), 0.0),
+    (bytes.fromhex("f93c00"), 1.0),
+    (bytes.fromhex("fb3ff199999999999a"), 1.1),
+    (bytes.fromhex("63e6b0b4"), "水"),
+    (bytes.fromhex("83010203"), [1, 2, 3]),
+    (bytes.fromhex("a201020304"), {"1": 2, "3": 4}),  # int keys stringify
+    (bytes.fromhex("a26161016162820203"), {"a": 1, "b": [2, 3]}),
+    (bytes.fromhex("5f42010243030405ff"),
+     b"\x01\x02\x03\x04\x05"),  # indefinite bytes
+    (bytes.fromhex("9f018202039f0405ffff"),
+     [1, [2, 3], [4, 5]]),  # indefinite array
+    (bytes.fromhex("c074323031332d30332d32315432303a30343a30305a"),
+     "2013-03-21T20:04:00Z"),  # tag 0 passes through
+]
+
+
+@pytest.mark.parametrize("blob,want", RFC_CASES)
+def test_rfc8949_appendix_a(blob, want):
+    got = decode_cbor_py(blob)
+    if isinstance(want, float):
+        assert got == pytest.approx(want)
+    else:
+        assert got == want
+
+
+def test_cbor_roundtrip_nested():
+    v = {"a": [1, -5, "x", None, True], "b": {"c": 2.5, "d": "é"},
+         "n": -(2**40)}
+    assert decode_cbor_py(encode_cbor_py(v)) == v
+
+
+def test_cbor_trailing_rejected():
+    with pytest.raises(ValueError, match="trailing"):
+        decode_cbor_py(bytes.fromhex("0001"))
+
+
+def test_cbor_half_floats():
+    # RFC appendix: f97c00 = Inf, f9fc00 = -Inf (render None in JSON
+    # seam but decode as floats here)
+    assert decode_cbor_py(bytes.fromhex("f97c00")) == float("inf")
+    assert decode_cbor_py(bytes.fromhex("f9fc00")) == float("-inf")
+    assert decode_cbor_py(bytes.fromhex("f90001")) == pytest.approx(
+        5.960464477539063e-8)
+
+
+def test_cbor_spark_seam(spark):
+    df = spark.createDataFrame(
+        [Row(b=encode_cbor_py({"k": i, "s": f"v{i}"})) for i in range(10)]
+    )
+    out = df.select(
+        F.from_json(decode_cbor(F.col("b")), "k int, s string").alias("r")
+    ).select("r.*").collect()
+    assert sorted((r["k"], r["s"]) for r in out) == [
+        (i, f"v{i}") for i in range(10)
+    ]
+    # encode seam: JSON -> CBOR -> decode equals original
+    j = df.select(decode_cbor(encode_cbor(decode_cbor(F.col("b"))))
+                  .alias("j")).collect()
+    assert all(json.loads(r["j"])["s"].startswith("v") for r in j)
+    # invalid -> NULL
+    bad = spark.createDataFrame([Row(b=b"\xff\x00")]).select(
+        decode_cbor(F.col("b")).alias("j")).collect()
+    assert bad[0]["j"] is None
+
+
+def test_parse_tokens(spark):
+    line = ('127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+            '"GET /apache_pb.gif HTTP/1.0" 200 2326')
+    out = spark.createDataFrame([Row(t=line)]).select(
+        parse_tokens(F.col("t")).alias("toks")).collect()[0]["toks"]
+    assert out == [
+        "127.0.0.1", None, "frank", "10/Oct/2000:13:55:36 -0700",
+        "GET /apache_pb.gif HTTP/1.0", "200", "2326",
+    ]
+
+
+def test_screamingsnakecase(spark):
+    out = spark.createDataFrame([Row(s="inputText"), Row(s="Input-Text")]) \
+        .select(screamingsnakecase(F.col("s")).alias("v")).collect()
+    assert {r["v"] for r in out} == {"INPUT_TEXT"}
+
+
+def test_unzip_arrays(spark):
+    out = spark.createDataFrame(
+        [Row(p=[["a", "1"], ["b", "2"], ["c", "3"]])]
+    ).select(unzip_arrays(F.col("p")).alias("u")).collect()[0]["u"]
+    assert out == [["a", "b", "c"], ["1", "2", "3"]]
+
+
+def test_uuid_v7_shape_and_ordering(spark):
+    df = spark.createDataFrame(
+        [Row(ts="2026-01-01 00:00:00"), Row(ts="2026-06-01 00:00:00")]
+    ).select(F.col("ts"), uuid_v7(F.to_timestamp("ts")).alias("u"))
+    rows = {r["ts"]: r["u"] for r in df.collect()}
+    import re as _re
+
+    pat = _re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-"
+        r"[0-9a-f]{12}$"
+    )
+    for u in rows.values():
+        assert pat.match(u), u
+    # time-ordered: the millis prefix sorts with the timestamp
+    assert rows["2026-01-01 00:00:00"] < rows["2026-06-01 00:00:00"]
+
+
+def test_parse_proto_vrl_surface(spark, tmp_path):
+    from vector_spark.functions.vrl import encode_proto, parse_proto
+
+    proto = tmp_path / "m.proto"
+    proto.write_text(
+        "syntax = \"proto3\";\n"
+        "message M { string a = 1; int64 b = 2; }\n"
+    )
+    df = spark.createDataFrame([Row(a="x", b=7), Row(a="y", b=-2)])
+    enc = df.select(
+        "a", "b",
+        encode_proto(str(proto), "M", F.col("a"), F.col("b")).alias("pb"),
+    )
+    dec = enc.select(
+        "a", "b", parse_proto(F.col("pb"), str(proto), "M").alias("r")
+    )
+    assert dec.where(
+        (F.col("r.a") != F.col("a")) | (F.col("r.b") != F.col("b"))
+    ).count() == 0

@@ -350,6 +350,25 @@ def parse_apache_log(col: Column) -> Column:
 parse_common_log = parse_apache_log
 
 
+def parse_tokens(col: Column) -> Column:
+    """VRL parse_tokens: whitespace-separated tokens, with
+    double-quoted strings and [bracketed] segments kept as single
+    tokens (delimiters stripped, '-' → null) → array<string>."""
+    toks = F.regexp_extract_all(
+        col, F.lit(r'("[^"]*"|\[[^\]]*\]|[^\s]+)'), 1
+    )
+    return F.transform(
+        toks,
+        lambda t: F.when(t == "-", F.lit(None)).otherwise(
+            F.when(
+                (t.startswith('"') & t.endswith('"'))
+                | (t.startswith("[") & t.endswith("]")),
+                t.substr(F.lit(2), F.length(t) - 2),
+            ).otherwise(t)
+        ),
+    )
+
+
 def parse_logfmt(col: Column) -> Column:
     """VRL parse_logfmt — key=value pairs to a map."""
     return parse_key_value(col)
@@ -994,6 +1013,37 @@ def uuid_v4() -> Column:
     return F.expr("uuid()")
 
 
+def uuid_v7(ts: Column | None = None) -> Column:
+    """VRL uuid_v7: time-ordered UUID — 48-bit unix-millis prefix,
+    version 7, variant 10, random tail (from uuid()'s entropy).
+    Nondeterministic tail, like uuid_v4; the millis prefix is the
+    sortable part."""
+    millis = (
+        (F.unix_millis(ts) if ts is not None
+         else F.unix_millis(F.current_timestamp()))
+        .cast("long")
+    )
+    hex12 = F.lpad(F.conv(millis.cast("string"), 10, 16), 12, "0")
+    rnd = F.regexp_replace(F.expr("uuid()"), "-", "")
+    return F.lower(
+        F.concat_ws(
+            "-",
+            F.substring(hex12, 1, 8),
+            F.substring(hex12, 9, 4),
+            F.concat(F.lit("7"), F.substring(rnd, 1, 3)),
+            F.concat(
+                # variant bits 10xx: force the nibble into {8,9,a,b}
+                F.element_at(
+                    F.split(F.lit("8,9,a,b"), ","),
+                    (F.ascii(F.substring(rnd, 4, 1)) % 4 + 1).cast("int"),
+                ),
+                F.substring(rnd, 5, 3),
+            ),
+            F.substring(rnd, 8, 12),
+        )
+    )
+
+
 def random_float() -> Column:
     return F.rand()
 
@@ -1018,6 +1068,61 @@ def now() -> Column:
 
 def encode_json(col: Column) -> Column:
     return F.to_json(col)
+
+
+def parse_cbor(col: Column) -> Column:
+    """VRL parse_cbor: CBOR binary → JSON string of the decoded value
+    (pair with from_json for a typed struct).  RFC 8949 decoder in
+    functions/cbor.py — jar-free, Arrow-batched."""
+    from vector_spark.functions.cbor import decode_cbor
+
+    return decode_cbor(col)
+
+
+def encode_cbor(col: Column) -> Column:
+    """VRL encode_cbor: JSON string → CBOR binary."""
+    from vector_spark.functions.cbor import encode_cbor as _enc
+
+    return _enc(col)
+
+
+def parse_proto(col: Column, registry_or_desc, message_type: str) -> Column:
+    """VRL parse_proto(value, desc_file, message_type) — binary
+    protobuf → typed struct via the descriptor-driven pure-Python codec
+    (sources/protobuf.py).  ``registry_or_desc`` is a parsed registry,
+    a path to a binary FileDescriptorSet, or a path to a .proto
+    source."""
+    from vector_spark.sources.protobuf import from_protobuf_py
+
+    return from_protobuf_py(col, _proto_registry(registry_or_desc),
+                            message_type)
+
+
+def encode_proto(
+    registry_or_desc, message_type: str, *cols: Column, field_names=None
+) -> Column:
+    """VRL encode_proto — named columns → binary protobuf message."""
+    from vector_spark.sources.protobuf import encode_protobuf_py
+
+    return encode_protobuf_py(
+        _proto_registry(registry_or_desc), message_type, *cols,
+        field_names=field_names,
+    )
+
+
+def _proto_registry(registry_or_desc) -> dict:
+    if isinstance(registry_or_desc, dict):
+        return registry_or_desc
+    from vector_spark.sources.protobuf import (
+        parse_descriptor_set, parse_proto_text,
+    )
+
+    path = str(registry_or_desc)
+    if path.endswith(".proto"):
+        with open(path) as fh:
+            return parse_proto_text(fh.read())
+    with open(path, "rb") as fh:
+        return parse_descriptor_set(fh.read())
 
 
 def encode_base64(col: Column) -> Column:
@@ -1470,6 +1575,14 @@ zip_arrays = F.arrays_zip
 flatten_array = F.flatten
 
 
+def unzip_arrays(col: Column) -> Column:
+    """VRL unzip: array of 2-element arrays → array of the two
+    projected arrays [[a1,a2,...],[b1,b2,...]]."""
+    firsts = F.transform(col, lambda p: F.get(p, 0))
+    seconds = F.transform(col, lambda p: F.get(p, 1))
+    return F.array(firsts, seconds)
+
+
 # --------------------------------------------------------------------------
 # String extras
 
@@ -1534,6 +1647,11 @@ def camelcase(col: Column) -> Column:
 
 def pascalcase(col: Column) -> Column:
     return F.array_join(F.transform(_words(col), F.initcap), "")
+
+
+def screamingsnakecase(col: Column) -> Column:
+    """VRL screamingsnakecase: 'InputText' → 'INPUT_TEXT'."""
+    return F.upper(snakecase(col))
 
 
 # --------------------------------------------------------------------------
