@@ -245,3 +245,119 @@ def test_config_accepts_otlp_source(spark, tmp_path):
     assert out["otel"].count() == 2
     raw = out["otel_raw"].collect()
     assert len(raw) == 1 and "resourceLogs" in raw[0]["decoded"]
+
+
+def test_metric_histogram_exp_histogram_summary_decode():
+    # HistogramDataPoint: count=10 (fixed64 f4), sum=55.5 (f5),
+    # bucket_counts packed fixed64 (f6), explicit_bounds packed double
+    # (f7), min/max (f11/f12)
+    hist_pt = (
+        tag(3, 1) + struct.pack("<Q", 2_000)            # time_unix_nano
+        + tag(4, 1) + struct.pack("<Q", 10)             # count
+        + tag(5, 1) + struct.pack("<d", 55.5)           # sum
+        + ld(6, struct.pack("<3Q", 2, 5, 3))            # bucket_counts
+        + ld(7, struct.pack("<2d", 1.0, 10.0))          # explicit_bounds
+        + tag(11, 1) + struct.pack("<d", 0.5)           # min
+        + tag(12, 1) + struct.pack("<d", 42.0)          # max
+        + ld(9, kv_str("route", "/pay"))                # attributes
+    )
+    # ExponentialHistogramDataPoint: scale sint32=3 (f6 zigzag 6),
+    # zero_count (f7), positive buckets {offset sint32=-2, counts
+    # packed varint} (f8)
+    exp_pt = (
+        tag(4, 1) + struct.pack("<Q", 7)                # count
+        + tag(6, 0) + vint(6)                           # scale = zigzag 3
+        + tag(7, 1) + struct.pack("<Q", 1)              # zero_count
+        + ld(8, tag(1, 0) + vint(3) + ld(2, vint(4) + vint(2)))
+        # positive{offset=-2 (zigzag 3), bucket_counts=[4,2]}
+    )
+    # SummaryDataPoint: count f4, sum f5, quantile_values f6
+    summ_pt = (
+        tag(4, 1) + struct.pack("<Q", 100)
+        + tag(5, 1) + struct.pack("<d", 250.0)
+        + ld(6, tag(1, 1) + struct.pack("<d", 0.5)
+              + tag(2, 1) + struct.pack("<d", 2.5))
+        + ld(6, tag(1, 1) + struct.pack("<d", 0.99)
+              + tag(2, 1) + struct.pack("<d", 9.9))
+    )
+    req = ld(
+        1,
+        ld(2,
+           ld(2, s(1, "latency") + ld(9, ld(1, hist_pt) + tag(2, 0)
+                                      + vint(2)))
+           + ld(2, s(1, "latency_exp") + ld(10, ld(1, exp_pt)))
+           + ld(2, s(1, "latency_sum") + ld(11, ld(1, summ_pt)))),
+    )
+    out = decode_otlp_py(req, ("metrics",))
+    metrics = out["resourceMetrics"][0]["scopeMetrics"][0]["metrics"]
+    by_name = {m["name"]: m for m in metrics}
+
+    h = by_name["latency"]["histogram"]
+    assert h["aggregationTemporality"] == 2
+    pt = h["dataPoints"][0]
+    assert pt["count"] == 10 and pt["sum"] == 55.5
+    assert pt["bucketCounts"] == [2, 5, 3]
+    assert pt["explicitBounds"] == [1.0, 10.0]
+    assert pt["min"] == 0.5 and pt["max"] == 42.0
+    assert pt["attributes"][0]["key"] == "route"
+
+    e = by_name["latency_exp"]["exponentialHistogram"]["dataPoints"][0]
+    assert e["count"] == 7 and e["scale"] == 3 and e["zeroCount"] == 1
+    assert e["positive"] == {"offset": -2, "bucketCounts": [4, 2]}
+
+    sm = by_name["latency_sum"]["summary"]["dataPoints"][0]
+    assert sm["count"] == 100 and sm["sum"] == 250.0
+    assert sm["quantileValues"] == [
+        {"quantile": 0.5, "value": 2.5},
+        {"quantile": 0.99, "value": 9.9},
+    ]
+
+
+def test_otlp_metric_points_flatten(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vector_spark.sources.otlp import otlp_metric_points
+
+    gauge_pt = (
+        tag(3, 1) + struct.pack("<Q", 1_000)
+        + tag(4, 1) + struct.pack("<d", 3.5)        # as_double
+    )
+    hist_pt = (
+        tag(4, 1) + struct.pack("<Q", 6)
+        + tag(5, 1) + struct.pack("<d", 12.0)
+        + ld(6, struct.pack("<2Q", 4, 2))
+        + ld(7, struct.pack("<1d", 5.0))
+    )
+    summ_pt = (
+        tag(4, 1) + struct.pack("<Q", 9)
+        + ld(6, tag(1, 1) + struct.pack("<d", 0.5)
+              + tag(2, 1) + struct.pack("<d", 1.5))
+    )
+    req = ld(
+        1,
+        ld(1, ld(1, kv_str("service.name", "svc")))
+        + ld(2,
+             ld(1, s(1, "meter"))
+             + ld(2, s(1, "g") + ld(5, ld(1, gauge_pt)))
+             + ld(2, s(1, "h") + ld(9, ld(1, hist_pt)))
+             + ld(2, s(1, "s") + ld(11, ld(1, summ_pt)))),
+    )
+    d = tmp_path / "metrics"
+    d.mkdir()
+    (d / "m.pb").write_bytes(req)
+    df = spark.read.format("binaryFile").load(str(d))
+    pts = otlp_metric_points(df)
+    rows = {r["name"]: r for r in pts.collect()}
+    assert set(rows) == {"g", "h", "s"}
+    assert rows["g"]["kind"] == "gauge" and rows["g"]["value"] == 3.5
+    assert rows["g"]["resource_attributes"]["service.name"] == "svc"
+    assert rows["h"]["kind"] == "histogram"
+    assert rows["h"]["bucket_counts"] == [4, 2]
+    assert rows["h"]["explicit_bounds"] == [5.0]
+    assert rows["s"]["kind"] == "summary"
+    assert rows["s"]["quantiles"] == [0.5]
+    assert rows["s"]["quantile_values"] == [1.5]
+    # feeds the metric operators: windowless rollup over the points
+    agg = pts.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert {(r["kind"], r["n"]) for r in agg} == {
+        ("gauge", 1), ("histogram", 1), ("summary", 1)}

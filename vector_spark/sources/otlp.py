@@ -37,7 +37,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
-    LongType, MapType, StringType, StructField, StructType,
+    ArrayType, DoubleType, LongType, MapType, StringType, StructField,
+    StructType,
 )
 
 # ---------------------------------------------------------------------------
@@ -300,6 +301,137 @@ def _number_point(b: bytes) -> dict:
     return out
 
 
+def _packed_fixed64(v: bytes) -> list[int]:
+    if len(v) % 8:
+        raise ValueError("packed fixed64 length not multiple of 8")
+    return [int.from_bytes(v[i : i + 8], "little")
+            for i in range(0, len(v), 8)]
+
+
+def _packed_doubles(v: bytes) -> list[float]:
+    import struct
+
+    if len(v) % 8:
+        raise ValueError("packed double length not multiple of 8")
+    return list(struct.unpack(f"<{len(v) // 8}d", v))
+
+
+def _packed_varints(v: bytes) -> list[int]:
+    out = []
+    i = 0
+    while i < len(v):
+        x, i = _read_varint(v, i)
+        out.append(x)
+    return out
+
+
+def _unzig32(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _histogram_point(b: bytes) -> dict:
+    """HistogramDataPoint (metrics.proto): explicit-bounds histogram —
+    the OTel shape the reference maps onto AggregatedHistogram."""
+    out: dict = {}
+    for fno, wt, v in _fields(b):
+        if fno == 9:
+            _expect(wt, _LEN, "HistogramDataPoint.attributes")
+            out.setdefault("attributes", []).append(_key_value(v))
+        elif fno == 2:
+            out["startTimeUnixNano"] = v
+        elif fno == 3:
+            out["timeUnixNano"] = v
+        elif fno == 4:
+            out["count"] = v
+        elif fno == 5:
+            out["sum"] = _f64(v)
+        elif fno == 6:  # repeated fixed64, packed
+            _expect(wt, _LEN, "HistogramDataPoint.bucket_counts")
+            out["bucketCounts"] = _packed_fixed64(v)
+        elif fno == 7:  # repeated double, packed
+            _expect(wt, _LEN, "HistogramDataPoint.explicit_bounds")
+            out["explicitBounds"] = _packed_doubles(v)
+        elif fno == 11:
+            out["min"] = _f64(v)
+        elif fno == 12:
+            out["max"] = _f64(v)
+    return out
+
+
+def _exp_buckets(b: bytes) -> dict:
+    out: dict = {"offset": 0, "bucketCounts": []}
+    for fno, wt, v in _fields(b):
+        if fno == 1:
+            out["offset"] = _unzig32(v)
+        elif fno == 2:
+            if wt == _LEN:  # packed uint64 varints
+                out["bucketCounts"].extend(_packed_varints(v))
+            else:
+                out["bucketCounts"].append(v)
+    return out
+
+
+def _exp_histogram_point(b: bytes) -> dict:
+    """ExponentialHistogramDataPoint: base-2 exponential buckets
+    (scale, zero_count, positive/negative offset+counts)."""
+    out: dict = {}
+    for fno, wt, v in _fields(b):
+        if fno == 1:
+            _expect(wt, _LEN, "ExpHistogramDataPoint.attributes")
+            out.setdefault("attributes", []).append(_key_value(v))
+        elif fno == 2:
+            out["startTimeUnixNano"] = v
+        elif fno == 3:
+            out["timeUnixNano"] = v
+        elif fno == 4:
+            out["count"] = v
+        elif fno == 5:
+            out["sum"] = _f64(v)
+        elif fno == 6:
+            out["scale"] = _unzig32(v)
+        elif fno == 7:
+            out["zeroCount"] = v
+        elif fno == 8:
+            _expect(wt, _LEN, "ExpHistogramDataPoint.positive")
+            out["positive"] = _exp_buckets(v)
+        elif fno == 9:
+            _expect(wt, _LEN, "ExpHistogramDataPoint.negative")
+            out["negative"] = _exp_buckets(v)
+        elif fno == 12:
+            out["min"] = _f64(v)
+        elif fno == 13:
+            out["max"] = _f64(v)
+    return out
+
+
+def _summary_point(b: bytes) -> dict:
+    """SummaryDataPoint: pre-aggregated quantiles — the OTel shape the
+    reference maps onto AggregatedSummary."""
+    out: dict = {}
+    for fno, wt, v in _fields(b):
+        if fno == 7:
+            _expect(wt, _LEN, "SummaryDataPoint.attributes")
+            out.setdefault("attributes", []).append(_key_value(v))
+        elif fno == 2:
+            out["startTimeUnixNano"] = v
+        elif fno == 3:
+            out["timeUnixNano"] = v
+        elif fno == 4:
+            out["count"] = v
+        elif fno == 5:
+            out["sum"] = _f64(v)
+        elif fno == 6:  # ValueAtQuantile{quantile=1 double, value=2 double}
+            _expect(wt, _LEN, "SummaryDataPoint.quantile_values")
+            q: dict = {}
+            for f2, _w2, v2 in _fields(v):
+                if f2 == 1:
+                    q["quantile"] = _f64(v2)
+                elif f2 == 2:
+                    q["value"] = _f64(v2)
+            out.setdefault("quantileValues", []).append(q)
+    return out
+
+
 def _metric(b: bytes) -> dict:
     out: dict = {}
     for fno, wt, v in _fields(b):
@@ -330,8 +462,31 @@ def _metric(b: bytes) -> dict:
                 elif f2 == 3:
                     s["isMonotonic"] = bool(v2)
             out["sum"] = s
-        # histogram (9) / exp-histogram (10) / summary (11): skipped —
-        # standard unknown-field semantics; name/unit still decode
+        elif fno == 9:  # Histogram{points=1, aggregation_temporality=2}
+            _expect(wt, _LEN, "Metric.histogram")
+            h: dict = {"dataPoints": []}
+            for f2, _w2, v2 in _fields(v):
+                if f2 == 1:
+                    h["dataPoints"].append(_histogram_point(v2))
+                elif f2 == 2:
+                    h["aggregationTemporality"] = v2
+            out["histogram"] = h
+        elif fno == 10:  # ExponentialHistogram{points=1, temporality=2}
+            _expect(wt, _LEN, "Metric.exponential_histogram")
+            eh: dict = {"dataPoints": []}
+            for f2, _w2, v2 in _fields(v):
+                if f2 == 1:
+                    eh["dataPoints"].append(_exp_histogram_point(v2))
+                elif f2 == 2:
+                    eh["aggregationTemporality"] = v2
+            out["exponentialHistogram"] = eh
+        elif fno == 11:  # Summary{points=1}
+            _expect(wt, _LEN, "Metric.summary")
+            sm: dict = {"dataPoints": []}
+            for f2, _w2, v2 in _fields(v):
+                if f2 == 1:
+                    sm["dataPoints"].append(_summary_point(v2))
+            out["summary"] = sm
     return out
 
 
@@ -637,3 +792,123 @@ def otlp_log_records(
             )
 
     return df.mapInPandas(gen, LOG_RECORD_SCHEMA)
+
+
+#: flattened metric data-point schema — one row per point, every OTel
+#: metric kind (gauge/sum/histogram/exponential_histogram/summary) in
+#: the shape the metric operators consume (aggregate.py histogram /
+#: quantile modes, log_to_metric/metric_to_log)
+METRIC_POINT_SCHEMA = StructType(
+    [
+        StructField("resource_attributes",
+                    MapType(StringType(), StringType())),
+        StructField("scope_name", StringType()),
+        StructField("name", StringType()),
+        StructField("unit", StringType()),
+        StructField("kind", StringType()),
+        StructField("time_unix_nano", LongType()),
+        StructField("attributes", MapType(StringType(), StringType())),
+        StructField("value", DoubleType()),          # gauge/sum points
+        StructField("count", LongType()),            # histo/exp/summary
+        StructField("sum", DoubleType()),
+        StructField("bucket_counts", ArrayType(LongType())),
+        StructField("explicit_bounds", ArrayType(DoubleType())),
+        StructField("scale", LongType()),            # exp histogram
+        StructField("zero_count", LongType()),
+        StructField("positive_offset", LongType()),
+        StructField("positive_counts", ArrayType(LongType())),
+        StructField("quantiles", ArrayType(DoubleType())),  # summary
+        StructField("quantile_values", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _point_rows(metric: dict) -> Iterator[dict]:
+    base = {"name": metric.get("name"), "unit": metric.get("unit")}
+    for kind in ("gauge", "sum"):
+        for pt in metric.get(kind, {}).get("dataPoints", []):
+            yield {
+                **base, "kind": kind,
+                "time_unix_nano": pt.get("timeUnixNano"),
+                "attributes": _attr_map(pt.get("attributes")),
+                "value": float(pt["asDouble"]) if "asDouble" in pt
+                else (float(pt["asInt"]) if "asInt" in pt else None),
+            }
+    for pt in metric.get("histogram", {}).get("dataPoints", []):
+        yield {
+            **base, "kind": "histogram",
+            "time_unix_nano": pt.get("timeUnixNano"),
+            "attributes": _attr_map(pt.get("attributes")),
+            "count": pt.get("count"), "sum": pt.get("sum"),
+            "bucket_counts": pt.get("bucketCounts"),
+            "explicit_bounds": pt.get("explicitBounds"),
+        }
+    for pt in metric.get("exponentialHistogram", {}).get("dataPoints", []):
+        pos = pt.get("positive", {})
+        yield {
+            **base, "kind": "exponential_histogram",
+            "time_unix_nano": pt.get("timeUnixNano"),
+            "attributes": _attr_map(pt.get("attributes")),
+            "count": pt.get("count"), "sum": pt.get("sum"),
+            "scale": pt.get("scale"), "zero_count": pt.get("zeroCount"),
+            "positive_offset": pos.get("offset"),
+            "positive_counts": pos.get("bucketCounts"),
+        }
+    for pt in metric.get("summary", {}).get("dataPoints", []):
+        qv = pt.get("quantileValues", [])
+        yield {
+            **base, "kind": "summary",
+            "time_unix_nano": pt.get("timeUnixNano"),
+            "attributes": _attr_map(pt.get("attributes")),
+            "count": pt.get("count"), "sum": pt.get("sum"),
+            "quantiles": [q.get("quantile") for q in qv],
+            "quantile_values": [q.get("value") for q in qv],
+        }
+
+
+def otlp_metric_points(
+    df: DataFrame, *, value_col: str = "content"
+) -> DataFrame:
+    """Explode binary ExportMetricsServiceRequest payloads into one
+    typed row per metric data point (``METRIC_POINT_SCHEMA``) covering
+    all five OTel metric kinds — the metrics counterpart of
+    :func:`otlp_log_records` (reference: decoding/format/otlp.rs maps
+    these onto Metric events; histogram/summary points correspond to
+    the AggregatedHistogram / AggregatedSummary value shapes served by
+    operators/aggregate.py and operators/sketch.py).  Invalid payloads
+    yield no rows (dropped-channel convention)."""
+
+    cols = [f.name for f in METRIC_POINT_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[value_col]:
+                if b is None:
+                    continue
+                try:
+                    req = decode_otlp_py(bytes(b), ("metrics",))
+                except ValueError:
+                    continue
+                for rm in req.get("resourceMetrics", []):
+                    res_attrs = _attr_map(
+                        rm.get("resource", {}).get("attributes")
+                    )
+                    for sm in rm.get("scopeMetrics", []):
+                        scope = sm.get("scope", {}).get("name")
+                        for metric in sm.get("metrics", []):
+                            for row in _point_rows(metric):
+                                full = {
+                                    "resource_attributes": res_attrs,
+                                    "scope_name": scope,
+                                    **row,
+                                }
+                                # explicit None for absent columns —
+                                # pandas would otherwise fill NaN,
+                                # which Arrow rejects for array fields
+                                rows.append(
+                                    {c: full.get(c) for c in cols}
+                                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(gen, METRIC_POINT_SCHEMA)
