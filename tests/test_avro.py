@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from vector_spark.sources.avro import (
+    write_avro,
     AvroSchemaError,
     avro_spark_ddl,
     decode_avro_py,
@@ -256,3 +257,31 @@ def test_config_accepts_avro_source(spark, tmp_path):
     )
     rows = {(r["k"], r["v"]) for r in out["ev"].collect()}
     assert rows == {("x", 1), ("y", 2)}
+
+
+def test_write_avro_roundtrip(spark, tmp_path):
+    sch = json.dumps({
+        "type": "record", "name": "E",
+        "fields": [
+            {"name": "k", "type": "string"},
+            {"name": "v", "type": "long"},
+            {"name": "x", "type": ["null", "double"]},
+        ],
+    })
+    df = spark.range(200).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        (F.col("id") * 7).alias("v"),
+        F.when(F.col("id") % 3 == 0, F.col("id") / 2.0).alias("x"),
+    ).repartition(4)
+    out_dir = tmp_path / "avro_out"
+    paths = write_avro(df, str(out_dir), sch, codec="deflate",
+                       block_records=37)
+    assert 1 <= len(paths) <= 4
+    back = read_avro(spark, str(out_dir / "*.avro"))
+    assert back.count() == 200
+    joined = back.alias("b").join(
+        df.alias("d"), "k").where(
+        (F.col("b.v") != F.col("d.v"))
+        | ~F.col("b.x").eqNullSafe(F.col("d.x"))
+    )
+    assert joined.count() == 0

@@ -636,3 +636,61 @@ def read_avro(
     return decoded.select(
         F.from_json("value", ddl).alias("r")
     ).select("r.*")
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    schema_json: str,
+    *,
+    codec: str = "deflate",
+    block_records: int = 5000,
+) -> list[str]:
+    """DataFrame → Avro object container files, one per partition,
+    jar-free (the encoder-side counterpart of `read_avro`; reference:
+    lib/codecs/src/encoding/format/avro.rs).  Each task encodes its
+    partition with `write_container` and writes
+    ``part-<pid>.avro`` under ``path`` — embarrassingly parallel, no
+    shuffle, no driver funnel.  The 16-byte sync marker derives from
+    the partition id, so output is deterministic for a fixed
+    partitioning.  Files go through plain ``open()`` — local/NFS/fuse
+    filesystems (this container, most on-prem clusters); object-store
+    deployments should swap the final write for their FS client or use
+    spark-avro.  Returns the written file paths."""
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    parsed = parse_schema(schema_json)
+    root = _deref(parsed["root"], parsed["names"])
+    if root["type"] != "record":
+        raise AvroSchemaError("write_avro expects a record schema")
+    fnames = [f["name"] for f in root["fields"]]
+    cols_df = df.select(*fnames)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs: list[dict] = []
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                recs.append({
+                    k: (None if v is None or (isinstance(v, float) and v != v)
+                        else v.item() if hasattr(v, "item") else v)
+                    for k, v in row.items()
+                })
+        if not recs:
+            yield pd.DataFrame({"path": [], "n": []})
+            return
+        sync = f"vs-part-{pid:07d}-".encode("ascii")[:16].ljust(16, b"0")
+        blob = write_container(
+            schema_json, recs, codec=codec, sync=sync,
+            block_records=block_records,
+        )
+        fpath = _os.path.join(path, f"part-{pid:05d}.avro")
+        with open(fpath, "wb") as fh:
+            fh.write(blob)
+        yield pd.DataFrame({"path": [fpath], "n": [len(recs)]})
+
+    manifest = cols_df.mapInPandas(gen, "path string, n long").collect()
+    return [r["path"] for r in manifest if r["path"]]
