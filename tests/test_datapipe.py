@@ -1562,3 +1562,31 @@ def test_multiclass_grader_null_label_and_oov_docs(spark):
     # tie breaks to the smallest label
     assert got[11]["grade"] == 0 and got[11]["n_tokens"] == 3
     assert 12 not in got, "zero-token docs are excluded"
+
+
+def test_diversity_sample_balance_and_determinism(spark):
+    from vector_spark.datapipe.similarity import (
+        anchor_assign, diversity_sample,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    picked = diversity_sample(emb, n_anchors=4, per_cluster=25)
+    rows = picked.collect()
+    per = {}
+    for r in rows:
+        per[r["anchor_id"]] = per.get(r["anchor_id"], 0) + 1
+    # quota respected per region; no region exceeds the cap
+    assert all(n <= 25 for n in per.values()), per
+    assert len(per) == 4  # anchors are the 4 lowest ids -> 4 regions
+    # deterministic under repartitioning (pure function of the data)
+    again = diversity_sample(
+        emb.repartition(13), n_anchors=4, per_cluster=25
+    ).collect()
+    assert sorted((r["vec_id"], r["anchor_id"]) for r in rows) == sorted(
+        (r["vec_id"], r["anchor_id"]) for r in again
+    )
+    # every vector assigns to its true rounded-cosine argmax
+    anchors = emb.orderBy("vec_id").limit(4)
+    asn = anchor_assign(emb, anchors)
+    joined = asn.groupBy().agg(F.count(F.lit(1)).alias("n")).collect()
+    assert joined[0]["n"] == emb.count()

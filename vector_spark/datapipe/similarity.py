@@ -652,3 +652,80 @@ def pq_topk(
         .filter(F.col("_rk") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("_rk").alias("rank"))
     )
+
+
+def anchor_assign(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stratify every vector by its nearest anchor (cosine argmax,
+    rounded to 6 decimals; ties break to the LOWEST anchor id) —
+    deterministic, engine-portable cluster assignment.  The anchor set
+    broadcasts; the big side is scanned once, never shuffled on
+    vectors.  Output: (id, anchor_id, cos)."""
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("_av")
+    )
+    scored = vectors.crossJoin(F.broadcast(a)).withColumn(
+        "_cos", F.round(cosine(F.col(vec_col), F.col("_av")), 6)
+    )
+    # argmax as max-of-struct: (cos, -anchor_id) orders lexicographically
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("_cos").alias("_c"),
+                (-F.col("anchor_id")).alias("_na"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        id_col,
+        (-F.col("_b._na")).alias("anchor_id"),
+        F.col("_b._c").alias("cos"),
+    )
+
+
+def diversity_sample(
+    vectors: DataFrame,
+    *,
+    n_anchors: int = 8,
+    per_cluster: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling over an embedding column —
+    the training-mix counterpart of SemDeDup: stratify the corpus into
+    ``n_anchors`` semantic regions and keep an equal quota from each,
+    so over-represented regions are capped instead of dominating the
+    mix (cluster-balanced sampling as used in corpus curation; same
+    family as temperature_mix but in embedding space rather than by a
+    categorical column).
+
+    Deterministic and oracle-portable end to end: anchors are the
+    ``n_anchors`` LOWEST-id vectors (no k-means — an explicit,
+    SQL-reproducible anchor rule; pass driver-trained centroids to
+    :func:`anchor_assign` directly when semantic centroids are wanted),
+    assignment is rounded-cosine argmax, and the within-cluster quota
+    keeps the ``per_cluster`` smallest ``(portable_hash60(id), id)``
+    rows — a hash-spread, order-free pick (the quota_sample
+    convention).  Plan shape: anchors broadcast; one groupBy(id) for
+    the argmax; the quota rank window is pre-bounded by Spark's
+    WindowGroupLimit, so no cluster sorts more than its own rows and
+    only ~per_cluster survivors leave each task.  Output:
+    (id, anchor_id, cos) for the kept rows."""
+    from vector_spark.datapipe.dedup import portable_hash60
+
+    anchors = vectors.orderBy(F.col(id_col).asc()).limit(int(n_anchors))
+    assigned = anchor_assign(
+        vectors, anchors, id_col=id_col, vec_col=vec_col
+    )
+    h = portable_hash60(F.col(id_col).cast("string"))
+    w = W.partitionBy("anchor_id").orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(per_cluster))
+        .drop("_rk")
+    )

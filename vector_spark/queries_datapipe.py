@@ -1698,3 +1698,48 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("ids_checksum"),
         F.sum("n_tokens").alias("tokens_checksum"),
     )
+
+
+@register(
+    "emb_diversity_sample",
+    """
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+s AS (
+  SELECT vec_id, anchor_id,
+         round(list_dot_product(vv, av) /
+               (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(av, av))),
+               6) AS cos
+  FROM v CROSS JOIN a
+),
+asn AS (
+  SELECT vec_id, anchor_id, cos FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, anchor_id ASC) AS rn
+    FROM s
+  ) WHERE rn = 1
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY anchor_id
+    ORDER BY try_cast(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+             AS BIGINT) ASC, vec_id ASC) AS rk
+  FROM asn
+)
+SELECT vec_id, anchor_id, cos FROM r WHERE rk <= 40""",
+)
+def q_emb_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling
+    (datapipe/similarity.py:diversity_sample): stratify the corpus by
+    nearest anchor (rounded-cosine argmax, anchors = 8 lowest-id
+    vectors — an explicit SQL-reproducible anchor rule) and keep a
+    40-row hash-spread quota per region.  The oracle re-derives the
+    whole thing — anchors, assignment, quota — in pure SQL, so the
+    full selected set sits under the value-hash gate."""
+    from vector_spark.datapipe.similarity import diversity_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return diversity_sample(emb, n_anchors=8, per_cluster=40)

@@ -55,6 +55,9 @@ def register(name: str, oracle: str | None):
 #   r1; route stays repped by route_sink_errors/exclusive_route_counts,
 #   aggregate by aggregate_errors_1m/pipeline_stats) in favor of
 #   avro_roundtrip + protobuf_roundtrip (full value-hash oracles).
+#   redact_pii rotates out (green r1-r3; the remap family stays repped
+#   by remap_program + the parse queries) for emb_diversity_sample
+#   (new capability, full oracle).
 _PRIORITY: list[str] = [
     # parse / order / enrich (turns_stable_order rotated out r4: the
     # ordering contract is exercised by every pipeline query; its slot
@@ -76,8 +79,10 @@ _PRIORITY: list[str] = [
     # (multiline_records rotated out r4 — green r1-r3; the framing
     # family stays repped by octet_framed_syslog; its slot goes to
     # doc_span_dedup)
-    "datadog_tags_facets", "redact_pii",
+    "datadog_tags_facets",
     "remap_program", "scale_chain_rows",
+    # r4 new capability: cluster-balanced diversity sampling
+    "emb_diversity_sample",
     # per-operator semantics (dedupe_first_wins + throttle_5_per_10m
     # rotated out r4 — green since r1; doc_exact_dedup keeps the dedup
     # class in-window and the throttle operator stays pytest-oracled;
