@@ -285,3 +285,60 @@ def test_write_avro_roundtrip(spark, tmp_path):
         | ~F.col("b.x").eqNullSafe(F.col("d.x"))
     )
     assert joined.count() == 0
+
+
+def test_decimal_logical_type():
+    sch = json.dumps({
+        "type": "record", "name": "D",
+        "fields": [
+            {"name": "amt", "type": {"type": "bytes",
+                                     "logicalType": "decimal",
+                                     "precision": 10, "scale": 2}},
+            {"name": "fx", "type": {"type": "fixed", "name": "F8",
+                                    "size": 8,
+                                    "logicalType": "decimal",
+                                    "precision": 18, "scale": 4}},
+        ],
+    })
+    parsed = parse_schema(sch)
+    # hand-built: unscaled 12345 at scale 2 = "123.45"; two's
+    # complement big-endian minimal bytes of 12345 = 0x3039
+    payload = _zz(2) + bytes.fromhex("3039") + (-70000).to_bytes(
+        8, "big", signed=True)
+    v = decode_datum(parsed, payload)
+    from vector_spark.sources.avro import _jsonable
+
+    j = _jsonable(parsed["root"], parsed["names"], v)
+    assert j == {"amt": "123.45", "fx": "-7.0000"}
+    # encoder accepts decimal strings and reproduces the wire bytes
+    assert encode_datum(parsed, {"amt": "123.45", "fx": "-7.0000"}) \
+        == payload
+    # negative bytes-decimal round trip
+    blob = encode_datum(parsed, {"amt": "-0.03", "fx": "0.0001"})
+    j2 = _jsonable(parsed["root"], parsed["names"],
+                   decode_datum(parsed, blob))
+    assert j2 == {"amt": "-0.03", "fx": "0.0001"}
+    # DDL maps to exact decimal types
+    ddl = avro_spark_ddl(sch)
+    assert "amt decimal(10,2)" in ddl and "fx decimal(18,4)" in ddl
+
+
+def test_decimal_spark_seam(spark):
+    sch = json.dumps({
+        "type": "record", "name": "D",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "amt", "type": {"type": "bytes",
+                                     "logicalType": "decimal",
+                                     "precision": 10, "scale": 2}},
+        ],
+    })
+    df = spark.range(20).select(
+        F.col("id"),
+        (F.col("id") * 7 - 50).cast("decimal(10,2)").alias("amt"))
+    enc = df.select(
+        "id", "amt", encode_avro_py(sch, F.col("id"), F.col("amt"))
+        .alias("a"))
+    dec = enc.select("id", "amt",
+                     from_avro_py(F.col("a"), sch).alias("r"))
+    assert dec.where(~F.col("r.amt").eqNullSafe(F.col("amt"))).count() == 0

@@ -17,9 +17,16 @@ Spec coverage: all eight primitives, record / enum / array / map /
 union / fixed, named-type references, zigzag varints, block-encoded
 arrays/maps (including negative block counts with byte sizes), object
 container files with `null` and `deflate` codecs, and the Confluent
-prefix.  Logical types pass through as their underlying primitive
-(the reference does the same — apache_avro's types::Value keeps the
-raw long for timestamp-millis unless the reader asks otherwise).
+prefix.  Logical types: timestamp-millis/micros and time-micros pass
+through as their underlying long and uuid as string — exactly the
+reference's mapping (avro.rs:222-232 forwards the raw i64 / the
+hyphenated string).  Where the reference ERRORS (avro.rs:193-204
+rejects Date, Decimal, Fixed, TimeMillis outright) this codec does
+strictly more: fixed decodes as bytes, date/time-millis pass through
+as ints, and `decimal` (bytes/fixed, the big-endian two's-complement
+unscaled form) decodes to an exact decimal STRING honoring the
+schema's scale — JSON-safe and `from_json`-castable to
+``decimal(p,s)``.
 
 Scale notes: decoding is an Arrow-batched pandas UDF (one Python call
 per ~10k-row batch, not per row); container files parallelize per
@@ -103,7 +110,12 @@ def _norm(s, names: dict, namespace: str) -> dict:
         raise AvroSchemaError(f"bad schema node {s!r}")
     t = s.get("type")
     if t in _PRIMITIVES:
-        return {"type": t}
+        node = {"type": t}
+        if s.get("logicalType") == "decimal" and t == "bytes":
+            node["logical"] = "decimal"
+            node["scale"] = int(s.get("scale", 0))
+            node["precision"] = int(s.get("precision", 38))
+        return node
     if t == "record":
         ns = s.get("namespace", namespace)
         fq = _fq(s["name"], ns)
@@ -122,6 +134,10 @@ def _norm(s, names: dict, namespace: str) -> dict:
     if t == "fixed":
         fq = _fq(s["name"], s.get("namespace", namespace))
         node = {"type": "fixed", "name": fq, "size": int(s["size"])}
+        if s.get("logicalType") == "decimal":
+            node["logical"] = "decimal"
+            node["scale"] = int(s.get("scale", 0))
+            node["precision"] = int(s.get("precision", 38))
         names[fq] = node
         return node
     if t == "array":
@@ -311,9 +327,21 @@ def _write_datum(node: dict, names: dict, v, out: bytearray) -> None:
         out += _write_long(len(raw))
         out += raw
     elif t == "bytes":
+        if node.get("logical") == "decimal" and not isinstance(
+            v, (bytes, bytearray)
+        ):
+            v = _decimal_bytes(v, node["scale"])
         out += _write_long(len(v))
         out += bytes(v)
     elif t == "fixed":
+        if node.get("logical") == "decimal" and not isinstance(
+            v, (bytes, bytearray)
+        ):
+            raw = _decimal_bytes(v, node["scale"])
+            if len(raw) > node["size"]:
+                raise ValueError("decimal overflows fixed size")
+            pad = b"\xff" if raw[0] & 0x80 else b"\x00"
+            v = pad * (node["size"] - len(raw)) + raw
         if len(v) != node["size"]:
             raise ValueError("fixed size mismatch")
         out += bytes(v)
@@ -443,6 +471,8 @@ def avro_spark_ddl(schema: str | dict) -> str:
 def _ddl(node: dict, names: dict, top: bool = False) -> str:
     node = _deref(node, names)
     t = node["type"]
+    if node.get("logical") == "decimal":
+        return f"decimal({node['precision']},{node['scale']})"
     simple = {
         "null": "string",  # a top-level null field: always-null string
         "boolean": "boolean", "int": "int", "long": "bigint",
@@ -480,6 +510,28 @@ def _ddl(node: dict, names: dict, top: bool = False) -> str:
     raise AvroSchemaError(f"unsupported type {t!r}")
 
 
+def _decimal_str(unscaled: int, scale: int) -> str:
+    """Exact decimal rendering of a big-endian two's-complement
+    unscaled int at the schema's scale (avro spec: decimal logical
+    type) — string keeps it JSON-safe and lossless."""
+    if scale <= 0:
+        return str(unscaled * 10 ** (-scale))
+    sign = "-" if unscaled < 0 else ""
+    mag = str(abs(unscaled)).rjust(scale + 1, "0")
+    return f"{sign}{mag[:-scale]}.{mag[-scale:]}"
+
+
+def _decimal_bytes(v, scale: int) -> bytes:
+    """str/Decimal/int → minimal two's-complement big-endian bytes of
+    the unscaled value (the encoder side of the decimal logical
+    type)."""
+    from decimal import Decimal
+
+    unscaled = int(Decimal(str(v)).scaleb(scale).to_integral_exact())
+    n = max(1, (unscaled.bit_length() + 8) // 8)  # +1 bit for the sign
+    return unscaled.to_bytes(n, "big", signed=True)
+
+
 def _jsonable(node: dict, names: dict, v):
     """Decoded Python value → JSON-renderable (bytes → base64)."""
     import base64
@@ -489,6 +541,10 @@ def _jsonable(node: dict, names: dict, v):
     if v is None:
         return None
     if t in ("bytes", "fixed"):
+        if node.get("logical") == "decimal":
+            return _decimal_str(
+                int.from_bytes(v, "big", signed=True), node["scale"]
+            )
         return base64.b64encode(v).decode("ascii")
     if t == "union":
         idx = _union_index(node["branches"], names, v)
