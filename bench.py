@@ -327,6 +327,17 @@ def main() -> None:
 
     bench("pq_ann", _pq)
 
+    # cluster-balanced diversity sampling: nearest-anchor argmax over
+    # the full embedding table + per-region quota (emb_diversity_sample
+    # driver query at bench scale)
+    def _diversity() -> None:
+        from vector_spark.datapipe.similarity import diversity_sample
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        diversity_sample(emb, n_anchors=8, per_cluster=200).count()
+
+    bench("diversity_sample", _diversity)
+
     bench(
         "text_analysis",
         lambda: analyze_documents(transcripts)

@@ -38,7 +38,6 @@ a JSON string column consumed by `from_json` with the DDL derived by
 
 from __future__ import annotations
 
-import io
 import json
 import struct
 import zlib

@@ -271,6 +271,11 @@ def encode_message(value: dict, registry: dict, message_type: str) -> bytes:
                 out += _tag(fno, _LEN) + _write_varint(len(body)) + body
             continue
         if f["repeated"]:
+            if not v:
+                # empty repeated has no wire representation in
+                # canonical proto3 (an empty packed field would be
+                # nonstandard bloat) — omit, like an empty map
+                continue
             wire = _WIRE_OF[ftype]
             if wire != _LEN:
                 # proto3 default: packed numerics
