@@ -131,6 +131,23 @@ def main() -> None:
         emit(timings, n_turns, cpus)
         return
 
+    if only == "approx":
+        # the one-shuffle pipeline (HLL approx distinct — the
+        # documented 100 TB default) as its own two-size scaling
+        # target: isolates whether the exact-distinct second shuffle
+        # is what binds the wide leg on this host
+        from vector_spark.plans.transcript_pipeline import pipeline_stats
+
+        bench(
+            "pipeline",  # headline key for emit()
+            lambda: pipeline_stats(spark, transcripts,
+                                   exact_distinct=False)
+            .write.mode("overwrite")
+            .parquet("/tmp/vector_spark_bench_out_approx"),
+        )
+        emit(timings, n_turns, cpus)
+        return
+
     bench("pipeline", _pipeline)
 
     if only:

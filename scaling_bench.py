@@ -37,7 +37,7 @@ def run_at(cpus: int, n_turns: int) -> dict:
     # dedup = the near-dedup + clustering path over template-text docs
     target = os.environ.get("SCALE_TARGET")
     env["SPARK_GRAFT_BENCH_ONLY"] = {
-        "chain": "scale_chain", "dedup": "dedup"
+        "chain": "scale_chain", "dedup": "dedup", "approx": "approx"
     }.get(target, "pipeline")
     env.setdefault("SPARK_GRAFT_BENCH_ITERS", "3")
     proc = subprocess.run(
@@ -87,7 +87,8 @@ def main() -> None:
         ],
     }
     fname = {
-        "chain": "SCALING_CHAIN.json", "dedup": "SCALING_DEDUP.json"
+        "chain": "SCALING_CHAIN.json", "dedup": "SCALING_DEDUP.json",
+        "approx": "SCALING_APPROX.json"
     }.get(os.environ.get("SCALE_TARGET"), "SCALING.json")
     if os.environ.get("SCALE_MODE") == "jvm":
         fname = fname.replace(".json", "_JVM.json")
