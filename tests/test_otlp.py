@@ -361,3 +361,35 @@ def test_otlp_metric_points_flatten(spark, tmp_path):
     agg = pts.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
     assert {(r["kind"], r["n"]) for r in agg} == {
         ("gauge", 1), ("histogram", 1), ("summary", 1)}
+
+
+def test_otlp_spans_flatten(spark, tmp_path):
+    from vector_spark.config import build_topology
+
+    span = (
+        ld(1, bytes.fromhex("00112233445566778899aabbccddeeff"))  # trace_id
+        + ld(2, bytes.fromhex("0011223344556677"))                # span_id
+        + ld(4, bytes.fromhex("8877665544332211"))                # parent
+        + s(5, "GET /pay")
+        + tag(6, 0) + vint(2)                                     # kind SERVER
+        + tag(7, 1) + struct.pack("<Q", 1_000)
+        + tag(8, 1) + struct.pack("<Q", 5_500)
+        + ld(9, kv_str("http.status", "500"))
+        + ld(15, s(2, "boom") + tag(3, 0) + vint(2))              # status ERROR
+    )
+    req = ld(1, ld(2, ld(1, s(1, "tracer")) + ld(2, span)))
+    d = tmp_path / "traces"
+    d.mkdir()
+    (d / "t.pb").write_bytes(req)
+    out = build_topology(spark, {"sources": {"tr": {
+        "type": "otlp", "path": str(d), "signal_types": ["traces"]}}})
+    rows = out["tr"].collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["trace_id"] == "00112233445566778899aabbccddeeff"
+    assert r["parent_span_id"] == "8877665544332211"
+    assert r["name"] == "GET /pay" and r["kind"] == 2
+    assert r["duration_ns"] == 4_500
+    assert r["attributes"]["http.status"] == "500"
+    assert r["status_code"] == 2 and r["status_message"] == "boom"
+    assert r["scope_name"] == "tracer"

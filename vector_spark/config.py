@@ -114,15 +114,18 @@ def _build_source(spark: SparkSession, cfg: dict) -> DataFrame:
 
         from vector_spark.sources.otlp import (
             DEFAULT_SIGNALS, decode_otlp, otlp_log_records,
-            otlp_metric_points,
+            otlp_metric_points, otlp_spans,
         )
 
         whole = spark.read.format("binaryFile").load(cfg["path"])
         if cfg.get("flatten", True):
             # flatten target follows the signal selection: metrics-only
-            # sources explode typed metric points, otherwise LogRecords
+            # sources explode typed metric points, traces-only sources
+            # typed spans, otherwise LogRecords
             if cfg.get("signal_types") == ["metrics"]:
                 return otlp_metric_points(whole, value_col="content")
+            if cfg.get("signal_types") == ["traces"]:
+                return otlp_spans(whole, value_col="content")
             return otlp_log_records(whole, value_col="content")
         signals = tuple(cfg.get("signal_types", DEFAULT_SIGNALS))
         return whole.select(

@@ -912,3 +912,81 @@ def otlp_metric_points(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(gen, METRIC_POINT_SCHEMA)
+
+
+#: flattened span schema — one row per span, the trace_to_log-shaped
+#: mapping (the reference relabels TraceEvents into the log stream;
+#: operators/metrics.py:trace_to_log is the operator-side counterpart)
+SPAN_SCHEMA = StructType(
+    [
+        StructField("resource_attributes",
+                    MapType(StringType(), StringType())),
+        StructField("scope_name", StringType()),
+        StructField("trace_id", StringType()),
+        StructField("span_id", StringType()),
+        StructField("parent_span_id", StringType()),
+        StructField("name", StringType()),
+        StructField("kind", LongType()),
+        StructField("start_time_unix_nano", LongType()),
+        StructField("end_time_unix_nano", LongType()),
+        StructField("duration_ns", LongType()),
+        StructField("attributes", MapType(StringType(), StringType())),
+        StructField("status_code", LongType()),
+        StructField("status_message", StringType()),
+    ]
+)
+
+
+def otlp_spans(df: DataFrame, *, value_col: str = "content") -> DataFrame:
+    """Explode binary ExportTraceServiceRequest payloads into one typed
+    row per Span (``SPAN_SCHEMA``) — completes the flatten trio with
+    :func:`otlp_log_records` and :func:`otlp_metric_points`.
+    ``duration_ns`` is precomputed (end - start) since latency rollups
+    are what trace pipelines aggregate first.  Invalid payloads yield
+    no rows (dropped-channel convention)."""
+
+    cols = [f.name for f in SPAN_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[value_col]:
+                if b is None:
+                    continue
+                try:
+                    req = decode_otlp_py(bytes(b), ("traces",))
+                except ValueError:
+                    continue
+                for rs in req.get("resourceSpans", []):
+                    res_attrs = _attr_map(
+                        rs.get("resource", {}).get("attributes")
+                    )
+                    for ss in rs.get("scopeSpans", []):
+                        scope = ss.get("scope", {}).get("name")
+                        for sp in ss.get("spans", []):
+                            start = sp.get("startTimeUnixNano")
+                            end = sp.get("endTimeUnixNano")
+                            status = sp.get("status", {})
+                            full = {
+                                "resource_attributes": res_attrs,
+                                "scope_name": scope,
+                                "trace_id": sp.get("traceId"),
+                                "span_id": sp.get("spanId"),
+                                "parent_span_id": sp.get("parentSpanId"),
+                                "name": sp.get("name"),
+                                "kind": sp.get("kind"),
+                                "start_time_unix_nano": start,
+                                "end_time_unix_nano": end,
+                                "duration_ns": (end - start)
+                                if start is not None and end is not None
+                                else None,
+                                "attributes": _attr_map(
+                                    sp.get("attributes")
+                                ),
+                                "status_code": status.get("code"),
+                                "status_message": status.get("message"),
+                            }
+                            rows.append({c: full.get(c) for c in cols})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(gen, SPAN_SCHEMA)
