@@ -342,3 +342,103 @@ def test_decimal_spark_seam(spark):
     dec = enc.select("id", "amt",
                      from_avro_py(F.col("a"), sch).alias("r"))
     assert dec.where(~F.col("r.amt").eqNullSafe(F.col("amt"))).count() == 0
+
+
+# --- schema resolution (spec: evolution) ---
+
+V1 = json.dumps({
+    "type": "record", "name": "T",
+    "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "old_name", "type": "string"},
+        {"name": "dropped", "type": "string"},
+        {"name": "score", "type": "int"},
+    ],
+})
+V2_READER = json.dumps({
+    "type": "record", "name": "T",
+    "fields": [
+        {"name": "id", "type": "long"},                      # promotion
+        {"name": "name", "type": "string",
+         "aliases": ["old_name"]},                            # rename
+        {"name": "score", "type": "double"},                 # promotion
+        {"name": "tag", "type": ["null", "string"],
+         "default": None},                                    # new field
+        {"name": "n", "type": "int", "default": 7},          # new field
+    ],
+})
+
+
+def test_schema_resolution_evolution():
+    from vector_spark.sources.avro import decode_datum_resolved
+
+    w, r = parse_schema(V1), parse_schema(V2_READER)
+    blob = encode_datum(w, {"id": 3, "old_name": "x",
+                            "dropped": "gone", "score": 5})
+    out = decode_datum_resolved(w, r, blob)
+    assert out == {"id": 3, "name": "x", "score": 5.0,
+                   "tag": None, "n": 7}
+    assert isinstance(out["score"], float)
+
+
+def test_schema_resolution_union_and_missing_default():
+    from vector_spark.sources.avro import decode_datum_resolved
+
+    w = parse_schema('["null", "int"]')
+    r = parse_schema('["null", "long"]')
+    assert decode_datum_resolved(w, r, encode_datum(w, 5)) == 5
+    assert decode_datum_resolved(w, r, encode_datum(w, None)) is None
+    # writer scalar into reader union
+    w2 = parse_schema('"string"')
+    r2 = parse_schema('["null", "bytes"]')  # string promotes to bytes
+    assert decode_datum_resolved(w2, r2, encode_datum(w2, "ab")) == b"ab"
+    # reader-only field without default -> loud error
+    w3 = parse_schema(json.dumps({
+        "type": "record", "name": "R",
+        "fields": [{"name": "a", "type": "int"}]}))
+    r3 = parse_schema(json.dumps({
+        "type": "record", "name": "R",
+        "fields": [{"name": "a", "type": "int"},
+                   {"name": "b", "type": "int"}]}))
+    with pytest.raises(AvroSchemaError, match="no default"):
+        decode_datum_resolved(w3, r3, encode_datum(w3, {"a": 1}))
+
+
+def test_schema_resolution_enum_default():
+    from vector_spark.sources.avro import decode_datum_resolved
+
+    w = parse_schema(json.dumps({
+        "type": "enum", "name": "K",
+        "symbols": ["A", "B", "NEW"]}))
+    r = parse_schema(json.dumps({
+        "type": "enum", "name": "K",
+        "symbols": ["A", "B", "UNK"], "default": "UNK"}))
+    assert decode_datum_resolved(w, r, encode_datum(w, "B")) == "B"
+    assert decode_datum_resolved(w, r, encode_datum(w, "NEW")) == "UNK"
+
+
+def test_read_avro_mixed_generations(spark, tmp_path):
+    recs_v1 = [{"id": i, "old_name": f"n{i}", "dropped": "d",
+                "score": i} for i in range(5)]
+    v2_writer = json.dumps({
+        "type": "record", "name": "T",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "tag", "type": ["null", "string"]},
+            {"name": "n", "type": "int"},
+        ],
+    })
+    recs_v2 = [{"id": 100 + i, "name": f"m{i}", "score": i / 2,
+                "tag": "t", "n": i} for i in range(5)]
+    d = tmp_path / "gen"
+    d.mkdir()
+    (d / "old.avro").write_bytes(write_container(V1, recs_v1))
+    (d / "new.avro").write_bytes(write_container(v2_writer, recs_v2))
+    df = read_avro(spark, str(d / "*.avro"), reader_schema=V2_READER)
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 10
+    assert rows[3]["name"] == "n3" and rows[3]["n"] == 7
+    assert rows[3]["tag"] is None and rows[3]["score"] == 3.0
+    assert rows[103]["name"] == "m3" and rows[103]["tag"] == "t"

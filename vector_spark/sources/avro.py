@@ -121,13 +121,18 @@ def _norm(s, names: dict, namespace: str) -> dict:
         node = {"type": "record", "name": fq, "fields": []}
         names[fq] = node  # register before children (recursive types)
         for f in s.get("fields", []):
-            node["fields"].append(
-                {"name": f["name"], "schema": _norm(f["type"], names, ns)}
-            )
+            fd = {"name": f["name"], "schema": _norm(f["type"], names, ns)}
+            if "default" in f:
+                fd["default"] = f["default"]
+            if f.get("aliases"):
+                fd["aliases"] = list(f["aliases"])
+            node["fields"].append(fd)
         return node
     if t == "enum":
         fq = _fq(s["name"], s.get("namespace", namespace))
         node = {"type": "enum", "name": fq, "symbols": list(s["symbols"])}
+        if "default" in s:
+            node["default"] = s["default"]
         names[fq] = node
         return node
     if t == "fixed":
@@ -380,8 +385,10 @@ def encode_datum(schema: dict, value) -> bytes:
 # object container files (spec §"Object Container Files")
 
 
-def read_container(blob: bytes) -> tuple[dict, list]:
-    """Container bytes → (parsed schema, list of decoded records)."""
+def read_container(blob: bytes, *, reader: dict | None = None) -> tuple[dict, list]:
+    """Container bytes → (parsed writer schema, list of decoded
+    records).  With ``reader``, each record resolves into the reader's
+    shape (spec schema resolution) as it is read."""
     if blob[:4] != MAGIC:
         raise ValueError("not an Avro container (bad magic)")
     meta_schema = parse_schema(
@@ -410,7 +417,15 @@ def read_container(blob: bytes) -> tuple[dict, list]:
             raise ValueError(f"unsupported container codec {codec!r}")
         j = 0
         for _ in range(cnt):
-            v, j = _read_datum(schema["root"], schema["names"], block, j)
+            if reader is not None:
+                v, j = _read_resolved(
+                    schema["root"], reader["root"],
+                    schema["names"], reader["names"], block, j,
+                )
+            else:
+                v, j = _read_datum(
+                    schema["root"], schema["names"], block, j
+                )
             records.append(v)
     return schema, records
 
@@ -565,13 +580,18 @@ def decode_avro_py(
     schema_json: str,
     *,
     strip_schema_id_prefix: bool = False,
+    reader_schema: str | None = None,
 ) -> Column:
     """binary → JSON string of the decoded datum (NULL on invalid —
     the error-channel convention).  `strip_schema_id_prefix` drops the
     5-byte Confluent header when the first byte is the magic 0
-    (avro.rs:101-135).  Arrow-batched; pair with
-    `F.from_json(..., avro_spark_ddl(schema))`."""
+    (avro.rs:101-135).  `reader_schema` applies spec schema resolution
+    (evolution: defaults, skips, promotions, aliases) — output then
+    follows the READER's shape.  Arrow-batched; pair with
+    `F.from_json(..., avro_spark_ddl(reader_schema or schema))`."""
     schema = parse_schema(schema_json)
+    reader = parse_schema(reader_schema) if reader_schema else None
+    shape = reader or schema
 
     @F.pandas_udf("string")
     def _dec(vals: pd.Series) -> pd.Series:
@@ -583,11 +603,12 @@ def decode_avro_py(
                     and len(raw) >= CONFLUENT_PREFIX_LEN:
                 raw = raw[CONFLUENT_PREFIX_LEN:]
             try:
-                v = decode_datum(schema, raw)
+                v = (decode_datum_resolved(schema, reader, raw)
+                     if reader else decode_datum(schema, raw))
             except (ValueError, AvroSchemaError, UnicodeDecodeError):
                 return None
             return json.dumps(
-                _jsonable(schema["root"], schema["names"], v),
+                _jsonable(shape["root"], shape["names"], v),
                 separators=(",", ":"), sort_keys=True,
             )
 
@@ -640,14 +661,21 @@ def encode_avro_py(schema_json: str, *cols: Column) -> Column:
 
 
 def read_avro(
-    spark: SparkSession, path: str, *, schema_json: str | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    schema_json: str | None = None,
+    reader_schema: str | None = None,
 ) -> DataFrame:
     """Object container file(s) → typed DataFrame, jar-free.  Files
     load via the binaryFile source and decode inside `mapInPandas`
     (per-file parallelism — Avro blocks are sequential within a file
     but files are independent, the same unit spark-avro uses for
     non-splittable codecs).  If `schema_json` is None the writer
-    schema is taken from the first file's header."""
+    schema is taken from the first file's header.  `reader_schema`
+    applies spec schema resolution PER FILE against each file's own
+    writer schema — mixed-generation directories (an evolved producer
+    mid-rollout) read into one uniform reader-shaped frame."""
     if schema_json is None:
         import glob as _glob
         import os as _os
@@ -665,9 +693,10 @@ def read_avro(
             meta_schema["root"], meta_schema["names"], head, 4
         )
         schema_json = meta["avro.schema"].decode("utf-8")
-    parsed = parse_schema(schema_json)
-    ddl = _struct_ddl(schema_json)
+    parsed = parse_schema(reader_schema or schema_json)
+    ddl = _struct_ddl(reader_schema or schema_json)
     spark_schema = "value string"
+    reader_parsed = parse_schema(reader_schema) if reader_schema else None
 
     binary = spark.read.format("binaryFile").load(path)
 
@@ -676,7 +705,9 @@ def read_avro(
             rows = []
             for blob in pdf["content"]:
                 try:
-                    _, recs = read_container(bytes(blob))
+                    _, recs = read_container(
+                        bytes(blob), reader=reader_parsed
+                    )
                 except (ValueError, AvroSchemaError):
                     continue
                 root, names = parsed["root"], parsed["names"]
@@ -749,3 +780,191 @@ def write_avro(
 
     manifest = cols_df.mapInPandas(gen, "path string, n long").collect()
     return [r["path"] for r in manifest if r["path"]]
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (spec §"Schema Resolution") — reader-vs-writer
+# evolution: match record fields by name (or reader aliases), fill
+# reader-only fields from defaults, skip writer-only fields, promote
+# int→long→float→double and string↔bytes, resolve unions by first
+# structural match.  The reference decodes with the writer schema only
+# (avro.rs builds one Schema); this is the piece a long-lived pipeline
+# needs when producers upgrade before consumers.
+
+
+def _skip_datum(node: dict, names: dict, b: bytes, i: int) -> int:
+    """Advance past one datum without materializing it (writer-only
+    fields)."""
+    _, j = _read_datum(node, names, b, i)
+    return j
+
+
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+def _resolves(w: dict, r: dict, wn: dict, rn: dict) -> bool:
+    """Can writer node w resolve into reader node r? (structural check
+    used for union branch selection)"""
+    w, r = _deref(w, wn), _deref(r, rn)
+    wt, rt = w["type"], r["type"]
+    if wt in _PROMOTIONS:
+        return rt in _PROMOTIONS[wt]
+    if wt != rt:
+        return rt == "union" and any(
+            _resolves(w, br, wn, rn) for br in r["branches"]
+        )
+    if wt in ("null", "boolean"):
+        return True
+    if wt in ("record", "enum", "fixed"):
+        return w["name"].split(".")[-1] == r["name"].split(".")[-1]
+    if wt == "array":
+        return _resolves(w["items"], r["items"], wn, rn)
+    if wt == "map":
+        return _resolves(w["values"], r["values"], wn, rn)
+    if wt == "union":
+        return True  # branch chosen per-datum
+    return False
+
+
+def _coerce(v, w: dict, r: dict):
+    wt, rt = w["type"], r["type"]
+    if wt in ("int", "long") and rt in ("float", "double"):
+        return float(v)
+    if wt == "float" and rt == "double":
+        return v
+    if wt == "string" and rt == "bytes":
+        return v.encode("utf-8")
+    if wt == "bytes" and rt == "string":
+        return v.decode("utf-8")
+    return v
+
+
+def _default_value(node: dict, names: dict, default):
+    """JSON default → decoded-value space (bytes defaults are
+    ISO-8859-1 strings per spec; union defaults use the FIRST
+    branch)."""
+    node = _deref(node, names)
+    t = node["type"]
+    if t == "union":
+        return _default_value(node["branches"][0], names, default)
+    if t in ("bytes", "fixed") and isinstance(default, str):
+        return default.encode("latin-1")
+    if t == "record":
+        return {
+            f["name"]: _default_value(f["schema"], names,
+                                      (default or {}).get(f["name"]))
+            for f in node["fields"]
+        }
+    return default
+
+
+def _read_resolved(w: dict, r: dict, wn: dict, rn: dict, b: bytes, i: int):
+    w0, r0 = _deref(w, wn), _deref(r, rn)
+    wt, rt = w0["type"], r0["type"]
+    if wt == "union":
+        idx, i = _read_long(b, i)
+        return _read_resolved(w0["branches"][idx], r0, wn, rn, b, i)
+    if rt == "union" and wt != "union":
+        for br in r0["branches"]:
+            if _resolves(w0, br, wn, rn):
+                return _read_resolved(w0, br, wn, rn, b, i)
+        raise AvroSchemaError(
+            f"writer {wt!r} matches no reader union branch"
+        )
+    if rt == "record":
+        if wt != "record":
+            raise AvroSchemaError(f"cannot resolve {wt!r} into record")
+        rfields = {f["name"]: f for f in r0["fields"]}
+        # reader aliases: alternate names for writer fields
+        for f in r0["fields"]:
+            for alias in f.get("aliases", ()):
+                rfields.setdefault(alias, f)
+        out = {}
+        for f in w0["fields"]:
+            rf = rfields.get(f["name"])
+            if rf is None:
+                i = _skip_datum(f["schema"], wn, b, i)
+            else:
+                out[rf["name"]], i = _read_resolved(
+                    f["schema"], rf["schema"], wn, rn, b, i
+                )
+        for f in r0["fields"]:
+            if f["name"] not in out:
+                if "default" not in f:
+                    raise AvroSchemaError(
+                        f"reader field {f['name']!r} absent from writer "
+                        "and has no default"
+                    )
+                out[f["name"]] = _default_value(
+                    f["schema"], rn, f["default"]
+                )
+        return out, i
+    if rt == "array":
+        if wt != "array":
+            raise AvroSchemaError(f"cannot resolve {wt!r} into array")
+        out = []
+        while True:
+            cnt, i = _read_long(b, i)
+            if cnt == 0:
+                return out, i
+            if cnt < 0:
+                cnt = -cnt
+                _, i = _read_long(b, i)
+            for _ in range(cnt):
+                v, i = _read_resolved(
+                    w0["items"], r0["items"], wn, rn, b, i
+                )
+                out.append(v)
+    if rt == "map":
+        if wt != "map":
+            raise AvroSchemaError(f"cannot resolve {wt!r} into map")
+        out = {}
+        while True:
+            cnt, i = _read_long(b, i)
+            if cnt == 0:
+                return out, i
+            if cnt < 0:
+                cnt = -cnt
+                _, i = _read_long(b, i)
+            for _ in range(cnt):
+                k, i = _read_datum({"type": "string"}, wn, b, i)
+                out[k], i = _read_resolved(
+                    w0["values"], r0["values"], wn, rn, b, i
+                )
+    if rt == "enum":
+        if wt != "enum":
+            raise AvroSchemaError(f"cannot resolve {wt!r} into enum")
+        idx, i = _read_long(b, i)
+        sym = w0["symbols"][idx]
+        if sym in r0["symbols"]:
+            return sym, i
+        # spec: an unknown writer symbol takes the reader's enum default
+        if r0.get("default") is not None:
+            return r0["default"], i
+        raise AvroSchemaError(f"enum symbol {sym!r} not in reader enum")
+    # scalar / fixed: read with the WRITER type, promote to reader
+    if not _resolves(w0, r0, wn, rn):
+        raise AvroSchemaError(f"cannot resolve {wt!r} into {rt!r}")
+    v, i = _read_datum(w0, wn, b, i)
+    return _coerce(v, w0, r0), i
+
+
+def decode_datum_resolved(
+    writer: dict, reader: dict, payload: bytes, *, strict: bool = True
+):
+    """Decode a datum written with ``writer`` under ``reader``'s shape
+    (spec schema resolution)."""
+    v, i = _read_resolved(
+        writer["root"], reader["root"], writer["names"], reader["names"],
+        payload, 0,
+    )
+    if strict and i != len(payload):
+        raise ValueError(f"{len(payload) - i} trailing bytes after datum")
+    return v
