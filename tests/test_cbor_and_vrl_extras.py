@@ -158,3 +158,77 @@ def test_parse_proto_vrl_surface(spark, tmp_path):
     assert dec.where(
         (F.col("r.a") != F.col("a")) | (F.col("r.b") != F.col("b"))
     ).count() == 0
+
+
+def test_vrl_surface_completion_batch(spark):
+    from vector_spark.functions import vrl
+
+    df = spark.createDataFrame([Row(
+        s="héllo", num="3.5", bad="x2", n=255,
+        m={"a": "1"}, pairs=[["k1", "v1"], ["k2", "v2"]],
+        arr=["a", "b", "c"],
+        j='{"a": {"b": 1}, "c": [true, null]}',
+        notj="{nope", mime="=?utf-8?Q?caf=C3=A9?= ok",
+        ip4="10.1.2.3", ip6="::1",
+    )])
+    out = df.select(
+        vrl.strlen(F.col("s")).alias("sl"),
+        vrl.parse_float(F.col("num")).alias("f"),
+        vrl.parse_float(F.col("bad")).alias("fbad"),
+        vrl.format_int(F.col("n"), 16).alias("hex"),
+        vrl.is_json(F.col("j")).alias("isj"),
+        vrl.is_json(F.col("notj")).alias("isnj"),
+        vrl.map_values(F.col("m"), lambda v: F.concat(v, F.lit("!")))
+        .alias("mv"),
+        vrl.object_from_array(F.col("pairs")).alias("obj"),
+        vrl.contains_all(F.col("arr"), ["a", "c"]).alias("ca"),
+        vrl.contains_all(F.col("arr"), ["a", "z"]).alias("cz"),
+        vrl.flatten_object(F.col("j")).alias("flat"),
+        vrl.decode_mime_q(F.col("mime")).alias("mimed"),
+        vrl.ip_ntop(vrl.ip_pton(F.col("ip4"))).alias("rt4"),
+        vrl.ip_ntop(vrl.ip_pton(F.col("ip6"))).alias("rt6"),
+        vrl.get_timezone_name().alias("tz"),
+    ).collect()[0]
+    assert out["sl"] == 5
+    assert out["f"] == 3.5 and out["fbad"] is None
+    assert out["hex"] == "ff"
+    assert out["isj"] is True and out["isnj"] is False
+    assert out["mv"] == {"a": "1!"}
+    assert out["obj"] == {"k1": "v1", "k2": "v2"}
+    assert out["ca"] is True and out["cz"] is False
+    assert json.loads(out["flat"]) == {"a.b": 1, "c.0": True, "c.1": None}
+    assert out["mimed"] == "café ok"
+    assert out["rt4"] == "10.1.2.3" and out["rt6"] == "::1"
+    assert isinstance(out["tz"], str) and out["tz"]
+
+
+def test_match_datadog_query_vrl_surface(spark):
+    from vector_spark.functions.vrl import match_datadog_query
+
+    df = spark.createDataFrame([
+        Row(message="payment failed hard", status="error"),
+        Row(message="ok", status="info"),
+    ])
+    kept = df.filter(
+        match_datadog_query("status:error AND failed",
+                            columns=set(df.columns))
+    ).collect()
+    assert len(kept) == 1 and kept[0]["status"] == "error"
+
+
+def test_zstd_snappy_gated():
+    from vector_spark.functions.vrl import encode_snappy, encode_zstd
+
+    for fn in (encode_zstd, encode_snappy):
+        with pytest.raises(RuntimeError, match="requires"):
+            fn(F.lit(b"x"))
+
+
+def test_parse_influxdb_vrl_surface(spark):
+    from vector_spark.functions.vrl import parse_influxdb
+
+    df = spark.createDataFrame([
+        Row(line="cpu,host=h1 usage=0.5,idle=99 1700000000000000000")
+    ])
+    r = df.select(parse_influxdb(F.col("line")).alias("m")).collect()[0]["m"]
+    assert r is not None

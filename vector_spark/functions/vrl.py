@@ -1664,3 +1664,251 @@ def get_env_var(name: str, default: str = "") -> Column:
 
 def get_hostname() -> Column:
     return F.lit(socket.gethostname())
+
+
+# --------------------------------------------------------------------------
+# Round-4 late VRL-surface completion
+
+
+def strlen(col: Column) -> Column:
+    """VRL strlen — UTF-8 CHARACTER count (length() counts chars in
+    Spark already; byte length is octet_length)."""
+    return F.char_length(col)
+
+
+def parse_float(col: Column) -> Column:
+    """VRL parse_float! — fallible string → double (NULL on failure,
+    the try_cast convention for fallible VRL coercions)."""
+    return col.cast("string").try_cast("double")
+
+
+def format_int(col: Column, base: int = 10) -> Column:
+    """VRL format_int — integer → string in the given radix."""
+    if base == 10:
+        return col.cast("long").cast("string")
+    return F.lower(F.conv(col.cast("long").cast("string"), 10, base))
+
+
+def is_json(col: Column) -> Column:
+    """VRL is_json — does the string parse as JSON?  JVM-side via
+    try_parse_json (variant); NULL input → false like VRL."""
+    return F.coalesce(
+        F.try_parse_json(col).isNotNull(), F.lit(False)
+    )
+
+
+def map_keys(col: Column, fn) -> Column:
+    """VRL map_keys — transform every key of a map column."""
+    return F.transform_keys(col, lambda k, _v: fn(k))
+
+
+def map_values(col: Column, fn) -> Column:
+    """VRL map_values — transform every value of a map column."""
+    return F.transform_values(col, lambda _k, v: fn(v))
+
+
+def object_from_array(col: Column) -> Column:
+    """VRL object_from_array — array of [key, value] pairs → map."""
+    return F.map_from_entries(
+        F.transform(col, lambda p: F.struct(
+            F.get(p, 0).alias("key"), F.get(p, 1).alias("value")
+        ))
+    )
+
+
+def contains_all(col: Column, items: list) -> Column:
+    """VRL contains_all — array contains every item."""
+    return F.size(
+        F.array_except(F.array(*[F.lit(x) for x in items]), col)
+    ) == 0
+
+
+def get_timezone_name() -> Column:
+    """VRL get_timezone_name — the session timezone."""
+    return F.expr("current_timezone()")
+
+
+def match_datadog_query(query: str, **kwargs) -> Column:
+    """VRL match_datadog_query — compile a Datadog search query into a
+    boolean Column over the event's columns (the full DSL compiler in
+    conditions_datadog.py: facets, wildcards, ranges, tag arrays;
+    kwargs pass through to ``datadog_search``)."""
+    from vector_spark.conditions_datadog import datadog_search
+
+    return datadog_search(query, **kwargs)
+
+
+def parse_influxdb(col: Column) -> Column:
+    """VRL parse_influxdb — influx line protocol → struct (the codec
+    the sources layer uses, exposed as a remap function)."""
+    from vector_spark.sources.readers import _decode_influx
+
+    return _decode_influx(col, None)
+
+
+def flatten_object(col: Column, separator: str = ".") -> Column:
+    """VRL flatten over an object: nested JSON string → single-level
+    JSON with dotted keys (arrays indexed).  Arrow-batched — the same
+    codec-seam convention as the gzip/cbor kernels."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def flat(prefix: str, v, out: dict) -> None:
+        if isinstance(v, dict) and v:
+            for k, x in v.items():
+                flat(f"{prefix}{separator}{k}" if prefix else str(k), x, out)
+        elif isinstance(v, list) and v:
+            for idx, x in enumerate(v):
+                flat(f"{prefix}{separator}{idx}" if prefix else str(idx),
+                     x, out)
+        else:
+            out[prefix] = v
+
+    @pandas_udf("string")
+    def _udf(s: pd.Series) -> pd.Series:
+        def run(txt):
+            if txt is None:
+                return None
+            try:
+                v = _json.loads(txt)
+            except ValueError:
+                return None
+            out: dict = {}
+            flat("", v, out)
+            return _json.dumps(out, separators=(",", ":"), sort_keys=True)
+
+        return s.map(run)
+
+    return _udf(col)
+
+
+def decode_mime_q(col: Column) -> Column:
+    """VRL decode_mime_q — RFC 2047 encoded-words ('=?utf-8?Q?...?=')
+    → decoded text (mail/syslog headers)."""
+    from email.header import decode_header
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _udf(s):
+        def run(txt):
+            if txt is None:
+                return None
+            try:
+                parts = decode_header(txt)
+            except Exception:
+                return txt
+            out = []
+            for raw, enc in parts:
+                if isinstance(raw, bytes):
+                    out.append(raw.decode(enc or "ascii", errors="replace"))
+                else:
+                    out.append(raw)
+            return "".join(out)
+
+        return s.map(run)
+
+    return _udf(col)
+
+
+def ip_pton(col: Column) -> Column:
+    """VRL ip_pton — IPv4/IPv6 text → packed bytes (4 or 16)."""
+    import socket
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _udf(s):
+        def run(txt):
+            if txt is None:
+                return None
+            for fam in (socket.AF_INET, socket.AF_INET6):
+                try:
+                    return socket.inet_pton(fam, txt)
+                except OSError:
+                    continue
+            return None
+
+        return s.map(run)
+
+    return _udf(col)
+
+
+def ip_ntop(col: Column) -> Column:
+    """VRL ip_ntop — packed 4/16 bytes → IPv4/IPv6 text."""
+    import socket
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _udf(s):
+        def run(b):
+            if b is None:
+                return None
+            raw = bytes(b)
+            try:
+                if len(raw) == 4:
+                    return socket.inet_ntop(socket.AF_INET, raw)
+                if len(raw) == 16:
+                    return socket.inet_ntop(socket.AF_INET6, raw)
+            except OSError:
+                pass
+            return None
+
+        return s.map(run)
+
+    return _udf(col)
+
+
+def encode_zstd(col: Column) -> Column:
+    """VRL encode_zstd — import-try gated (zstandard not bundled in
+    this container; identical call works where it is)."""
+    try:
+        import zstandard
+    except ImportError as exc:
+        raise RuntimeError(
+            "encode_zstd requires the 'zstandard' package (not bundled "
+            f"in this environment): {exc}"
+        ) from exc
+    c = zstandard.ZstdCompressor(level=3)
+    return _binary_pandas_udf(c.compress, "encode_zstd")(
+        col.cast("binary")
+    )
+
+
+def decode_zstd(col: Column) -> Column:
+    try:
+        import zstandard
+    except ImportError as exc:
+        raise RuntimeError(
+            "decode_zstd requires the 'zstandard' package (not bundled "
+            f"in this environment): {exc}"
+        ) from exc
+    d = zstandard.ZstdDecompressor()
+    return _binary_pandas_udf(d.decompress, "decode_zstd")(col)
+
+
+def encode_snappy(col: Column) -> Column:
+    try:
+        import snappy
+    except ImportError as exc:
+        raise RuntimeError(
+            "encode_snappy requires the 'python-snappy' package (not "
+            f"bundled in this environment): {exc}"
+        ) from exc
+    return _binary_pandas_udf(snappy.compress, "encode_snappy")(
+        col.cast("binary")
+    )
+
+
+def decode_snappy(col: Column) -> Column:
+    try:
+        import snappy
+    except ImportError as exc:
+        raise RuntimeError(
+            "decode_snappy requires the 'python-snappy' package (not "
+            f"bundled in this environment): {exc}"
+        ) from exc
+    return _binary_pandas_udf(snappy.decompress, "decode_snappy")(col)
