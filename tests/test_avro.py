@@ -442,3 +442,33 @@ def test_read_avro_mixed_generations(spark, tmp_path):
     assert rows[3]["name"] == "n3" and rows[3]["n"] == 7
     assert rows[3]["tag"] is None and rows[3]["score"] == 3.0
     assert rows[103]["name"] == "m3" and rows[103]["tag"] == "t"
+
+
+def test_decimal_in_union_and_fixed_size_resolution():
+    from vector_spark.sources.avro import decode_datum_resolved
+
+    sch = parse_schema(json.dumps({
+        "type": "record", "name": "U",
+        "fields": [{"name": "amt", "type": ["null", {
+            "type": "bytes", "logicalType": "decimal",
+            "precision": 10, "scale": 2}]}],
+    }))
+    blob = encode_datum(sch, {"amt": "9.99"})
+    from vector_spark.sources.avro import _jsonable
+
+    v = decode_datum(sch, blob)
+    assert _jsonable(sch["root"], sch["names"], v) == {"amt": "9.99"}
+    assert _jsonable(
+        sch["root"], sch["names"],
+        decode_datum(sch, encode_datum(sch, {"amt": None}))
+    ) == {"amt": None}
+    # fixed resolution requires matching sizes
+    w = parse_schema(json.dumps({"type": "fixed", "name": "F",
+                                 "size": 4}))
+    r_bad = parse_schema(json.dumps({"type": "fixed", "name": "F",
+                                     "size": 8}))
+    with pytest.raises(AvroSchemaError):
+        decode_datum_resolved(w, r_bad, b"abcd")
+    r_ok = parse_schema(json.dumps({"type": "fixed", "name": "F",
+                                    "size": 4}))
+    assert decode_datum_resolved(w, r_ok, b"abcd") == b"abcd"

@@ -298,7 +298,11 @@ def _union_index(branches: list[dict], names: dict, v) -> int:
         if isinstance(v, float):
             return t in ("float", "double")
         if isinstance(v, str):
-            return t in ("string", "enum")
+            # a decimal logical branch accepts its string rendering
+            return t in ("string", "enum") or (
+                t in ("bytes", "fixed")
+                and node.get("logical") == "decimal"
+            )
         if isinstance(v, bytes):
             return t in ("bytes", "fixed")
         if isinstance(v, list):
@@ -822,7 +826,11 @@ def _resolves(w: dict, r: dict, wn: dict, rn: dict) -> bool:
         )
     if wt in ("null", "boolean"):
         return True
-    if wt in ("record", "enum", "fixed"):
+    if wt == "fixed":
+        # spec: fixed resolves only when names AND sizes match
+        return (w["name"].split(".")[-1] == r["name"].split(".")[-1]
+                and w["size"] == r["size"])
+    if wt in ("record", "enum"):
         return w["name"].split(".")[-1] == r["name"].split(".")[-1]
     if wt == "array":
         return _resolves(w["items"], r["items"], wn, rn)
