@@ -1886,3 +1886,65 @@ def q_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.role").alias("role"),
         F.col("r.ts_unix").alias("ts_unix"),
     )
+
+
+@register(
+    "otlp_roundtrip",
+    transcripts_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx, role AS severity_text, text AS body,
+       CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS time_unix_nano
+FROM transcripts""",
+)
+def q_otlp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP codec under the full value-hash gate: every turn becomes a
+    one-LogRecord ExportLogsServiceRequest (engine encoder,
+    sources/otlp.py:encode_logs_request), decodes back through the
+    typed `otlp_log_records` flatten, and the original fields are
+    recovered from body/severity/attributes — any wire asymmetry in
+    the protobuf encoding (varints, AnyValue oneof, nesting) breaks
+    the hash.  Reference: decoding/format/otlp.rs +
+    encoding/format/otlp.rs."""
+    from vector_spark.sources.otlp import encode_logs_request, otlp_log_records
+
+    t = load_transcripts(spark, sf_dir)
+
+    @F.pandas_udf("binary")
+    def _enc(pdf):
+        def run(row):
+            return encode_logs_request({
+                "resourceLogs": [{
+                    "scopeLogs": [{
+                        "logRecords": [{
+                            "timeUnixNano": int(row["ts_ns"]),
+                            "severityText": row["role"],
+                            "body": {"stringValue": row["text"]},
+                            "attributes": [
+                                {"key": "conv_id", "value": {
+                                    "stringValue": row["conv_id"]}},
+                                {"key": "turn_idx", "value": {
+                                    "intValue": int(row["turn_idx"])}},
+                            ],
+                        }],
+                    }],
+                }],
+            })
+
+        return pdf.apply(run, axis=1)
+
+    enc = t.select(
+        _enc(F.struct(
+            F.col("conv_id"), F.col("turn_idx"), F.col("role"),
+            F.col("text"),
+            (F.unix_timestamp("ts") * F.lit(1_000_000_000))
+            .alias("ts_ns"),
+        )).alias("content")
+    )
+    recs = otlp_log_records(enc)
+    return recs.select(
+        F.col("attributes")["conv_id"].alias("conv_id"),
+        F.col("attributes")["turn_idx"].cast("int").alias("turn_idx"),
+        F.col("severity_text").alias("severity_text"),
+        F.col("body").alias("body"),
+        F.col("time_unix_nano").alias("time_unix_nano"),
+    )

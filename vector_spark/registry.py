@@ -80,9 +80,13 @@ _PRIORITY: list[str] = [
     # family stays repped by octet_framed_syslog; its slot goes to
     # doc_span_dedup)
     "datadog_tags_facets",
-    "remap_program", "scale_chain_rows",
+    "remap_program",
     # r4 new capability: cluster-balanced diversity sampling
-    "emb_diversity_sample",
+    # (scale_chain_rows rotated out — green r2-r3; the chain stays
+    # covered by the scale_chain_12step bench entry + SCALING_CHAIN
+    # scaling evidence; its slot goes to otlp_roundtrip so every
+    # jar-free codec carries driver hash-gate evidence)
+    "emb_diversity_sample", "otlp_roundtrip",
     # per-operator semantics (dedupe_first_wins + throttle_5_per_10m
     # rotated out r4 — green since r1; doc_exact_dedup keeps the dedup
     # class in-window and the throttle operator stays pytest-oracled;
