@@ -1590,3 +1590,44 @@ def test_diversity_sample_balance_and_determinism(spark):
     asn = anchor_assign(emb, anchors)
     joined = asn.groupBy().agg(F.count(F.lit(1)).alias("n")).collect()
     assert joined[0]["n"] == emb.count()
+
+
+def test_chunk_documents_edges(spark):
+    from pyspark.sql import Row
+
+    from vector_spark.datapipe.text import chunk_documents
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=" ".join(f"w{i}" for i in range(10))),   # 1 chunk
+        Row(doc_id=2, text=" ".join(f"w{i}" for i in range(64))),   # exact
+        Row(doc_id=3, text=" ".join(f"w{i}" for i in range(65))),   # +1 tail
+        Row(doc_id=4, text=" ".join(f"w{i}" for i in range(200))),
+        Row(doc_id=5, text="   "),                                   # empty
+    ])
+    out = chunk_documents(df, chunk_tokens=64, overlap=16)
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_n_tokens"], r["n_chunks"])
+        for r in out.collect()
+    )
+    by_doc = {}
+    for d, i, nt, nc in rows:
+        by_doc.setdefault(d, []).append((i, nt, nc))
+    assert by_doc[1] == [(0, 10, 1)]
+    assert by_doc[2] == [(0, 64, 1)]
+    # 65 tokens, stride 48: windows at 0 (64) and 48 (17)
+    assert by_doc[3] == [(0, 64, 2), (1, 17, 2)]
+    # 200 tokens: starts 0,48,96,144 -> 64,64,64,56
+    assert by_doc[4] == [(0, 64, 4), (1, 64, 4), (2, 64, 4), (3, 56, 4)]
+    assert 5 not in by_doc
+    # overlap invariant: consecutive chunks share exactly `overlap`
+    # tokens (except the tail, which shares at least 1)
+    c4 = {r["chunk_idx"]: r["chunk_text"].split(" ")
+          for r in out.where(F.col("doc_id") == 4).collect()}
+    assert c4[0][-16:] == c4[1][:16]
+    assert c4[1][-16:] == c4[2][:16]
+    # determinism under repartition
+    again = chunk_documents(df.repartition(7), chunk_tokens=64, overlap=16)
+    assert sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_n_tokens"], r["n_chunks"])
+        for r in again.collect()
+    ) == rows

@@ -400,3 +400,68 @@ def boilerplate_metrics(
             ).alias("is_boilerplate"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token windows with overlap — the
+    chunking step every embedding / RAG / long-context training
+    pipeline runs before vectorizing or packing.  Stride =
+    ``chunk_tokens - overlap``; the final window keeps the tail (a doc
+    shorter than one chunk yields exactly one chunk; empty docs yield
+    none).
+
+    Spark-first: pure Column expressions — whitespace tokenization
+    (normalize + split, the shared _tokens convention), a
+    `sequence(0, n_chunks-1)` index array, `transform` slicing, and
+    ONE posexplode.  No shuffle, no Python; chunk multiplicity is
+    bounded by ceil(n_tokens / stride), so output size is linear in
+    corpus tokens at any scale.  For BPE-budgeted chunks run the same
+    shape over `bpe.encode_tokens` output instead of words.
+
+    Output: (id, chunk_idx, n_chunks, chunk_text, chunk_tokens).
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    n = F.size(words)
+    # windows start at 0, stride, 2*stride, ... while start < n; the
+    # last window may be short (tail kept, never dropped)
+    n_chunks = F.when(
+        n <= chunk_tokens, F.least(n, F.lit(1))
+    ).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + 1
+    )
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        idx,
+        lambda i: F.array_join(
+            F.slice(words, i * stride + 1, chunk_tokens), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), n_chunks.alias("n_chunks"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    return exploded.select(
+        id_col, "chunk_idx", "n_chunks", "chunk_text",
+        F.size(
+            F.filter(F.split(F.col("chunk_text"), " "),
+                     lambda t: t != "")
+        ).alias("chunk_n_tokens"),
+    )

@@ -1743,3 +1743,45 @@ def q_emb_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return diversity_sample(emb, n_anchors=8, per_cluster=40)
+
+
+@register(
+    "doc_chunking",
+    f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM}, ' '),
+                     x -> x <> '') AS words
+  FROM documents
+),
+sized AS (SELECT doc_id, words, len(words) AS n FROM w),
+c AS (
+  SELECT doc_id, words, n,
+         CASE WHEN n <= 64 THEN LEAST(n, 1)
+              ELSE CAST(ceil((n - 64) / 48.0) AS INT) + 1
+         END AS n_chunks
+  FROM sized
+),
+e AS (
+  SELECT c.doc_id, c.n_chunks, CAST(t.i AS INT) AS chunk_idx,
+         array_to_string(c.words[t.i * 48 + 1 : t.i * 48 + 64],
+                         ' ') AS chunk_text
+  FROM c, UNNEST(generate_series(0, c.n_chunks - 1)) AS t(i)
+  WHERE c.n_chunks > 0
+)
+SELECT doc_id, chunk_idx, n_chunks, chunk_text,
+       len(list_filter(string_split(chunk_text, ' '), x -> x <> ''))
+         AS chunk_n_tokens
+FROM e""",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking with overlap
+    (datapipe/text.py:chunk_documents): 64-token windows, 16-token
+    overlap (stride 48), tail kept.  Pure Column expressions + one
+    posexplode — no shuffle; the oracle re-derives every window
+    boundary with DuckDB list slicing, so off-by-one drift in the
+    stride math breaks the full value hash."""
+    from vector_spark.datapipe.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)

@@ -98,7 +98,11 @@ _PRIORITY: list[str] = [
     "doc_exact_dedup", "doc_minhash_signatures", "doc_minhash_lsh_pairs",
     "doc_near_dedup_corpus", "doc_dup_clusters", "doc_incremental_dedup",
     "doc_simhash", "doc_text_analysis",
-    "emb_cosine_topk", "emb_ann_topk", "emb_ivf_topk",
+    # emb_cosine_topk rotated out (green r2-r3; exact-cosine stays
+    # repped by emb_sq8_topk's hash gate + the recall gates that
+    # compare against it); its slot goes to doc_chunking
+    "emb_ann_topk", "emb_ivf_topk",
+    "doc_chunking",
     "emb_near_dup_pairs", "emb_sq8_topk",
     # r3-continuation training-data ops (first-class per the brief)
     "doc_repetition", "doc_gopher_quality", "doc_decontamination",
