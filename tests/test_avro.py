@@ -472,3 +472,28 @@ def test_decimal_in_union_and_fixed_size_resolution():
     r_ok = parse_schema(json.dumps({"type": "fixed", "name": "F",
                                     "size": 4}))
     assert decode_datum_resolved(w, r_ok, b"abcd") == b"abcd"
+
+
+def test_config_avro_sink_and_reader_schema(spark, tmp_path):
+    from vector_spark.config import run_topology
+
+    sch = json.dumps({
+        "type": "record", "name": "E",
+        "fields": [{"name": "k", "type": "string"},
+                   {"name": "v", "type": "long"}],
+    })
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.avro").write_bytes(write_container(
+        sch, [{"k": f"k{i}", "v": i} for i in range(30)]))
+    out_dir = tmp_path / "out"
+    counts = run_topology(spark, {
+        "sources": {"ev": {"type": "avro", "path": str(src / "*.avro"),
+                           "reader_schema": sch}},
+        "sinks": {"arch": {"type": "avro", "inputs": ["ev"],
+                           "path": str(out_dir), "schema": sch}},
+    })
+    assert counts == {"arch": 30}
+    back = read_avro(spark, str(out_dir))
+    assert back.count() == 30
+    assert {r["k"] for r in back.collect()} == {f"k{i}" for i in range(30)}

@@ -137,7 +137,10 @@ def _build_source(spark: SparkSession, cfg: dict) -> DataFrame:
         # (decoding/format/avro.rs; sources/avro.py pure-Python reader)
         from vector_spark.sources.avro import read_avro
 
-        return read_avro(spark, cfg["path"], schema_json=cfg.get("schema"))
+        return read_avro(
+            spark, cfg["path"], schema_json=cfg.get("schema"),
+            reader_schema=cfg.get("reader_schema"),
+        )
     if typ == "protobuf":
         # one binary message per file (the HTTP-body model), decoded
         # jar-free against either descriptor surface the reference
@@ -455,6 +458,13 @@ def run_topology(spark: SparkSession, config: dict) -> dict[str, int]:
             elif typ == "console":
                 console(df, cfg.get("n", 20))
                 counts[name] = df.count()
+            elif typ == "avro":
+                # jar-free container-file sink (encoding/format/avro.rs)
+                from vector_spark.sources.avro import read_avro, write_avro
+
+                write_avro(df, cfg["path"], cfg["schema"],
+                           codec=cfg.get("codec", "deflate"))
+                counts[name] = read_avro(spark, cfg["path"]).count()
             else:
                 write_sink(df, cfg["path"], fmt=typ, mode=cfg.get("mode", "overwrite"))
                 counts[name] = spark.read.format(typ).load(cfg["path"]).count()
