@@ -333,3 +333,56 @@ def test_stream_throttle_state_spans_batches(spark, tmp_path):
     got = spark.sql("SELECT * FROM stream_throttle").collect()
     # 8 events total in ONE window, threshold 5 → exactly 5 admitted
     assert len(got) == 5
+
+
+def test_stream_otlp_equals_batch(spark, tmp_path):
+    """Streaming OTLP file tail produces exactly the batch flatten's
+    rows over the same files (stream == batch, the suite's standing
+    equality contract)."""
+    from tests.test_otlp import LOGS_REQ
+    from vector_spark.sources.otlp import otlp_log_records
+    from vector_spark.streaming.pipeline import (
+        run_to_memory, stream_otlp_log_records,
+    )
+
+    d = tmp_path / "otlp_stream"
+    d.mkdir()
+    for i in range(3):
+        (d / f"req{i}.pb").write_bytes(LOGS_REQ)
+    sdf = stream_otlp_log_records(spark, str(d), max_files_per_trigger=1)
+    assert sdf.isStreaming
+    run_to_memory(sdf.select("body", "severity_text", "trace_id"),
+                  "otlp_stream_t", output_mode="append")
+    got = spark.sql("SELECT * FROM otlp_stream_t").collect()
+    batch = otlp_log_records(
+        spark.read.format("binaryFile").load(str(d))
+    ).select("body", "severity_text", "trace_id").collect()
+    key = lambda r: (r["body"], r["severity_text"], r["trace_id"])
+    assert sorted(map(key, got)) == sorted(map(key, batch))
+    assert len(got) == 6  # 2 records x 3 files
+
+
+def test_stream_avro_equals_batch(spark, tmp_path):
+    import json as _json
+
+    from vector_spark.sources.avro import read_avro, write_container
+    from vector_spark.streaming.pipeline import run_to_memory, stream_avro
+
+    sch = _json.dumps({
+        "type": "record", "name": "E",
+        "fields": [{"name": "k", "type": "string"},
+                   {"name": "v", "type": "long"}],
+    })
+    d = tmp_path / "avro_stream"
+    d.mkdir()
+    for i in range(3):
+        (d / f"f{i}.avro").write_bytes(write_container(
+            sch, [{"k": f"k{i}_{j}", "v": i * 10 + j} for j in range(4)]))
+    sdf = stream_avro(spark, str(d), sch, max_files_per_trigger=1)
+    assert sdf.isStreaming
+    run_to_memory(sdf, "avro_stream_t", output_mode="append")
+    got = {(r["k"], r["v"])
+           for r in spark.sql("SELECT * FROM avro_stream_t").collect()}
+    batch = {(r["k"], r["v"])
+             for r in read_avro(spark, str(d)).collect()}
+    assert got == batch and len(got) == 12

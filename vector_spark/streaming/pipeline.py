@@ -374,3 +374,87 @@ def write_stream_to_memory_table(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+#: binaryFile's fixed schema (file streaming source)
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_binary_files(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming binary-file tail — the micro-batch equivalent of the
+    reference's file-watching sources for BINARY payload formats (each
+    new file = one payload).  Feed through any binary codec flatten."""
+    reader = spark.readStream.format("binaryFile").schema(
+        _BINARY_FILE_SCHEMA
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(source_dir)
+
+
+def stream_otlp_log_records(
+    spark: SparkSession, source_dir: str, **kwargs
+) -> DataFrame:
+    """Streaming OTLP logs source: tail a directory of export-request
+    files into typed LogRecord rows.  mapInPandas flattens work
+    unchanged on streaming frames (stateless row generators), so
+    stream output == batch output over the same files (tested)."""
+    from vector_spark.sources.otlp import otlp_log_records
+
+    return otlp_log_records(
+        stream_binary_files(spark, source_dir, **kwargs)
+    )
+
+
+def stream_avro(
+    spark: SparkSession, source_dir: str, schema_json: str,
+    *, reader_schema: str | None = None, **kwargs
+) -> DataFrame:
+    """Streaming Avro container-file source (jar-free): tail a
+    directory of .avro files into typed rows via the same
+    decode-to-JSON + from_json seam as `read_avro` (stream == batch
+    over the same files; schema must be supplied — a streaming source
+    cannot peek the first file)."""
+    import json as _json
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from vector_spark.sources.avro import (
+        AvroSchemaError, _jsonable, _struct_ddl, parse_schema,
+        read_container,
+    )
+
+    parsed = parse_schema(reader_schema or schema_json)
+    ddl = _struct_ddl(reader_schema or schema_json)
+    reader_parsed = parse_schema(reader_schema) if reader_schema else None
+    binary = stream_binary_files(spark, source_dir, **kwargs)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                try:
+                    _, recs = read_container(
+                        bytes(blob), reader=reader_parsed
+                    )
+                except (ValueError, AvroSchemaError):
+                    continue
+                for r in recs:
+                    rows.append(_json.dumps(
+                        _jsonable(parsed["root"], parsed["names"], r),
+                        separators=(",", ":"), sort_keys=True,
+                    ))
+            yield pd.DataFrame({"value": rows})
+
+    decoded = binary.select("content").mapInPandas(gen, "value string")
+    return decoded.select(F.from_json("value", ddl).alias("r")).select("r.*")
