@@ -297,3 +297,38 @@ def test_find_enrichment_records_multi_row(spark):
     got = {r["event_id"]: sorted(m["color"] for m in r["matches"])
            for r in arr.collect()}
     assert got == {1: ["blue", "navy"], 2: ["red"], 3: []}
+
+
+def test_sliding_aggregate_edges(spark):
+    from pyspark.sql import Row, functions as F
+
+    from vector_spark.operators.aggregate import sliding_aggregate
+
+    df = spark.createDataFrame([
+        Row(k="a", ts="2026-01-01 00:10:00", v=1.0),   # windows 23:30, 00:00
+        Row(k="a", ts="2026-01-01 00:40:00", v=2.0),   # windows 00:00, 00:30
+        Row(k="b", ts="2026-01-01 01:00:00", v=4.0),   # windows 00:30, 01:00
+    ]).select("k", F.to_timestamp("ts").alias("ts"), "v")
+    out = sliding_aggregate(
+        df, keys=["k"], specs={"n": ("count", "*"), "s": ("sum", "v")},
+        interval_sec=3600, slide_sec=1800,
+    )
+    rows = {(r["k"], str(r["window_start"])): (r["n"], r["s"])
+            for r in out.collect()}
+    assert rows[("a", "2026-01-01 00:00:00")] == (2, 3.0)
+    assert rows[("a", "2025-12-31 23:30:00")] == (1, 1.0)
+    assert rows[("a", "2026-01-01 00:30:00")] == (1, 2.0)
+    assert rows[("b", "2026-01-01 00:30:00")] == (1, 4.0)
+    assert rows[("b", "2026-01-01 01:00:00")] == (1, 4.0)
+    assert len(rows) == 5
+    # tumbling degenerate: slide == interval gives one window per event
+    tumb = sliding_aggregate(
+        df, keys=["k"], specs={"n": ("count", "*")},
+        interval_sec=3600, slide_sec=3600,
+    ).collect()
+    assert sum(r["n"] for r in tumb) == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple"):
+        sliding_aggregate(df, keys=["k"], specs={"n": ("count", "*")},
+                          interval_sec=3600, slide_sec=1700)

@@ -75,6 +75,63 @@ def aggregate(
     )
 
 
+def sliding_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    specs: dict[str, tuple[str, str]],
+    *,
+    ts_col: str = "ts",
+    interval_sec: int = 60,
+    slide_sec: int = 30,
+    window_col: str = "window_start",
+) -> DataFrame:
+    """Hopping-window variant of :func:`aggregate`: each event lands in
+    every ``interval_sec`` window whose start is a multiple of
+    ``slide_sec`` covering it (``interval_sec`` must be a multiple of
+    ``slide_sec``; equal = tumbling).  The standard telemetry rollup
+    Spark exposes as ``window(ts, interval, slide)`` — re-expressed as
+    an explicit window-start sequence + ONE explode so the window
+    boundaries stay integer-exact and the DuckDB oracle reproduces
+    them bit-for-bit (the convention every aggregate query follows).
+    Event multiplicity = interval/slide, so output volume scales by
+    that fixed factor — map-side combine still applies downstream of
+    the explode."""
+    if interval_sec % slide_sec != 0:
+        raise ValueError(
+            f"interval_sec ({interval_sec}) must be a multiple of "
+            f"slide_sec ({slide_sec})"
+        )
+    ts = F.col(ts_col)
+    epoch = F.unix_timestamp(ts)
+    # newest window containing the event starts at floor(t/slide)*slide;
+    # it belongs to interval/slide consecutive slide-aligned windows
+    last_start = (epoch - F.pmod(epoch, F.lit(slide_sec)))
+    first_start = F.greatest(
+        last_start - F.lit(interval_sec - slide_sec),
+        # events near the epoch origin: no negative window starts
+        F.lit(0).cast("long"),
+    )
+    starts = F.sequence(first_start, last_start, F.lit(slide_sec))
+    aggs = []
+    for out, (mode, col) in specs.items():
+        if mode == "count" and col == "*":
+            aggs.append(F.count(F.lit(1)).alias(out))
+            continue
+        if mode not in _MODES:
+            raise ValueError(f"unknown aggregate mode {mode!r}")
+        aggs.append(_MODES[mode](F.col(col), ts).alias(out))
+    return (
+        df.withColumn(
+            window_col,
+            F.explode(F.transform(
+                starts, lambda s: F.timestamp_seconds(s)
+            )),
+        )
+        .groupBy(*keys, window_col)
+        .agg(*aggs)
+    )
+
+
 def diff(
     agg_df: DataFrame,
     keys: list[str],

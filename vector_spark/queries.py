@@ -1948,3 +1948,40 @@ def q_otlp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("body").alias("body"),
         F.col("time_unix_nano").alias("time_unix_nano"),
     )
+
+
+@register(
+    "events_sliding_agg",
+    """
+WITH e AS (
+  SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+),
+x AS (
+  SELECT event_type, value,
+         unnest(generate_series(
+           greatest((t - t % 1800) - 1800, 0), t - t % 1800, 1800
+         )) AS ws
+  FROM e
+)
+SELECT event_type, make_timestamp(ws * 1000000) AS window_start,
+       count(*) AS n, sum(value) AS sum_value
+FROM x GROUP BY 1, 2""",
+)
+def q_events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregate (operators/aggregate.py:
+    sliding_aggregate): 1-hour windows sliding every 30 minutes — each
+    event lands in interval/slide = 2 windows.  The oracle re-derives
+    the slide-aligned window-start sequence per event, so boundary
+    drift (off-by-one slide, wrong first window) breaks the hash."""
+    from vector_spark.operators.aggregate import sliding_aggregate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sliding_aggregate(
+        ev,
+        keys=["event_type"],
+        specs={"n": ("count", "*"), "sum_value": ("sum", "value")},
+        ts_col="ts",
+        interval_sec=3600,
+        slide_sec=1800,
+    )

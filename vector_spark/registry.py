@@ -68,8 +68,10 @@ _PRIORITY: list[str] = [
     # operator in-window; per-sink variants stay demoted
     "route_sink_errors",
     "exclusive_route_counts",
-    # aggregate / pipeline
-    "aggregate_errors_1m",
+    # aggregate / pipeline (aggregate_errors_1m rotated out late-r4 —
+    # green r1-r3; the aggregate family stays repped by pipeline_stats
+    # and the NEW hopping-window surface below)
+    "events_sliding_agg",
     "pipeline_stats",
     # r4 jar-free codecs (avro.py / protobuf.py), full hash oracles
     "avro_roundtrip", "protobuf_roundtrip",
