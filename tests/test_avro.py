@@ -444,6 +444,42 @@ def test_read_avro_mixed_generations(spark, tmp_path):
     assert rows[103]["name"] == "m3" and rows[103]["tag"] == "t"
 
 
+def test_read_avro_explicit_schema_resolves_per_file(spark, tmp_path):
+    """Round-5 advice: an explicit ``schema_json`` (no reader_schema)
+    must act as the READER schema — per-file spec resolution against
+    each container's writer schema — not render writer-shaped records
+    through a mismatched shape (which silently dropped reordered /
+    evolved fields to NULL)."""
+    reader = json.dumps({
+        "type": "record", "name": "T",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "extra", "type": "string", "default": "dflt"},
+        ],
+    })
+    # writer: reordered fields + a field the reader drops, no `extra`
+    writer = json.dumps({
+        "type": "record", "name": "T",
+        "fields": [
+            {"name": "name", "type": "string"},
+            {"name": "ignored", "type": "int"},
+            {"name": "id", "type": "long"},
+        ],
+    })
+    d = tmp_path / "x"
+    d.mkdir()
+    (d / "a.avro").write_bytes(write_container(
+        writer, [{"name": f"n{i}", "ignored": i, "id": i}
+                 for i in range(4)]))
+    rows = {r["id"]: r
+            for r in read_avro(spark, str(d / "*.avro"),
+                               schema_json=reader).collect()}
+    assert len(rows) == 4
+    # reordered fields match by name, missing field takes its default
+    assert rows[2]["name"] == "n2" and rows[2]["extra"] == "dflt"
+
+
 def test_decimal_in_union_and_fixed_size_resolution():
     from vector_spark.sources.avro import decode_datum_resolved
 

@@ -232,3 +232,30 @@ def test_parse_influxdb_vrl_surface(spark):
     ])
     r = df.select(parse_influxdb(F.col("line")).alias("m")).collect()[0]["m"]
     assert r is not None
+
+
+def test_format_int_negative_bases(spark):
+    """Round-5 advice (low): conv() is unsigned-64, so negative inputs
+    need an explicit sign — VRL's format_int(-255, 16) is '-ff', not
+    the two's-complement 'ffffffffffffff01'.  i64::MIN must not
+    overflow the magnitude computation."""
+    from pyspark.sql import Row
+
+    from vector_spark.functions import vrl
+
+    df = spark.createDataFrame([Row(a=-255, b=255, c=-9223372036854775808,
+                                    d=-10, e=0)])
+    out = df.select(
+        vrl.format_int(F.col("a"), 16).alias("neg_hex"),
+        vrl.format_int(F.col("b"), 16).alias("pos_hex"),
+        vrl.format_int(F.col("c"), 16).alias("min_hex"),
+        vrl.format_int(F.col("d"), 2).alias("neg_bin"),
+        vrl.format_int(F.col("d")).alias("neg_dec"),
+        vrl.format_int(F.col("e"), 16).alias("zero_hex"),
+    ).collect()[0]
+    assert out["neg_hex"] == "-ff"
+    assert out["pos_hex"] == "ff"
+    assert out["min_hex"] == "-8000000000000000"
+    assert out["neg_bin"] == "-1010"
+    assert out["neg_dec"] == "-10"
+    assert out["zero_hex"] == "0"

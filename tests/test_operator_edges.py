@@ -332,3 +332,29 @@ def test_sliding_aggregate_edges(spark):
     with _pytest.raises(ValueError, match="multiple"):
         sliding_aggregate(df, keys=["k"], specs={"n": ("count", "*")},
                           interval_sec=3600, slide_sec=1700)
+
+
+def test_sliding_aggregate_pre_epoch_timestamps(spark):
+    """Round-5 advice: a pre-1970 (negative epoch) event must not
+    crash the job (the old 0-clamp made first_start > last_start and
+    F.sequence raised), and near-epoch events must land in the full
+    interval/slide window set, matching Spark's window() semantics."""
+    from pyspark.sql import Row, functions as F
+
+    from vector_spark.operators.aggregate import sliding_aggregate
+
+    df = spark.createDataFrame([
+        Row(k="a", ts="1969-12-31 23:50:00", v=1.0),  # negative epoch
+        Row(k="a", ts="1970-01-01 00:10:00", v=2.0),  # near-epoch
+    ]).select("k", F.to_timestamp("ts").alias("ts"), "v")
+    out = sliding_aggregate(
+        df, keys=["k"], specs={"n": ("count", "*")},
+        interval_sec=3600, slide_sec=1800,
+    )
+    rows = {str(r["window_start"]): r["n"] for r in out.collect()}
+    # each event in exactly 2 windows; both share the 23:30 window
+    assert rows == {
+        "1969-12-31 23:00:00": 1,
+        "1969-12-31 23:30:00": 2,
+        "1970-01-01 00:00:00": 1,
+    }

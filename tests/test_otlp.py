@@ -313,6 +313,51 @@ def test_metric_histogram_exp_histogram_summary_decode():
     ]
 
 
+def test_integer_gauge_asint_sfixed64():
+    """Round-5 advice (high): `sfixed64 as_int = 6` is wire type I64
+    (metrics.proto), not varint.  A spec-conformant integer gauge —
+    tag(6, I64) + little-endian int64 — must decode, including
+    negative values via two's complement."""
+    def int_gauge(name: str, val: int) -> bytes:
+        pt = (tag(3, 1) + struct.pack("<Q", 2_000)
+              + tag(6, 1) + struct.pack("<q", val))  # as_int sfixed64
+        return ld(2, s(1, name) + ld(5, ld(1, pt)))
+
+    req = ld(1, ld(2, ld(1, s(1, "meter"))
+                   + int_gauge("req.count", 42)
+                   + int_gauge("temp.delta", -7)))
+    m = decode_otlp_py(req)
+    metrics = m["resourceMetrics"][0]["scopeMetrics"][0]["metrics"]
+    pts = {mt["name"]: mt["gauge"]["dataPoints"][0] for mt in metrics}
+    assert pts["req.count"]["asInt"] == 42
+    assert pts["temp.delta"]["asInt"] == -7
+    assert "asDouble" not in pts["req.count"]
+
+
+def test_integer_sum_points_flatten(spark, tmp_path):
+    """The `type: otlp` flatten path must surface integer counter
+    values (the common real-world shape) — regression for the r5
+    advice that every asInt payload raised 'Invalid OTLP data'."""
+    from vector_spark.sources.otlp import otlp_metric_points
+
+    sum_pt = (tag(3, 1) + struct.pack("<Q", 3_000)
+              + tag(6, 1) + struct.pack("<q", 1234))
+    # Sum{data_points=1, aggregation_temporality=2, is_monotonic=3}
+    req = ld(1, ld(2, ld(1, s(1, "meter"))
+                   + ld(2, s(1, "c")
+                        + ld(7, ld(1, sum_pt)
+                             + tag(2, 0) + vint(2)
+                             + tag(3, 0) + vint(1)))))
+    d = tmp_path / "metrics"
+    d.mkdir()
+    (d / "m.pb").write_bytes(req)
+    pts = otlp_metric_points(
+        spark.read.format("binaryFile").load(str(d)))
+    rows = pts.collect()
+    assert len(rows) == 1
+    assert rows[0]["kind"] == "sum" and rows[0]["value"] == 1234.0
+
+
 def test_otlp_metric_points_flatten(spark, tmp_path):
     from pyspark.sql import functions as F
 

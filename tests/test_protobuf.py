@@ -121,6 +121,28 @@ def test_wire_type_mismatch_raises(reg):
         decode_message(bad, reg, "demo.Turn")
 
 
+def test_message_field_sent_as_varint_raises_not_crashes(reg):
+    """Round-5 advice (medium): a message-numbered field arriving as
+    VARINT used to recurse into decode_message(int) and blow up with
+    TypeError, killing the executor task instead of following the
+    NULL-on-invalid convention.  Must raise ValueError (wire type)."""
+    bad_msg = _tag(7, 0) + _vv(3)  # nested declared message, sent VARINT
+    with pytest.raises(ValueError, match="wire type"):
+        decode_message(bad_msg, reg, "demo.Turn")
+    bad_map = _tag(5, 0) + _vv(3)  # attrs declared map, sent VARINT
+    with pytest.raises(ValueError, match="wire type"):
+        decode_message(bad_map, reg, "demo.Turn")
+
+
+def test_message_field_varint_null_channel(spark, reg):
+    """Same payload through the Spark UDF: NULL, not a task failure."""
+    bad = _tag(7, 0) + _vv(3)
+    df = spark.createDataFrame([(bytearray(bad),)], "pb binary")
+    out = df.select(decode_protobuf_py(F.col("pb"), reg, "demo.Turn")
+                    .alias("j")).collect()
+    assert out[0]["j"] is None
+
+
 def test_descriptor_set_self_hosted_roundtrip(reg):
     # registry -> binary FileDescriptorSet (our encoder) -> registry
     # (our own generic decoder parsing descriptor.proto) -> same decode

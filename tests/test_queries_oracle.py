@@ -45,6 +45,21 @@ def test_driver_window_covers_datapipe_suite():
     assert sorted(e.queries()) == sorted(_REGISTRY)
 
 
+def test_no_hugeint_oracle_columns(ddb):
+    """Regression for the round-4 red row: DuckDB widens sum(BIGINT)
+    to HUGEINT (int128), a dtype Spark cannot produce, so the driver's
+    dtype-sensitive value hash fails even when every value matches
+    (doc_topk_per_source, r4).  Every oracle result column must be a
+    type Spark can mirror — no HUGEINT anywhere."""
+    bad = []
+    for name in ORACLED:
+        rel = ddb.sql(_REGISTRY[name][1])
+        for col, typ in zip(rel.columns, rel.types):
+            if "HUGEINT" in str(typ).upper():
+                bad.append((name, col, str(typ)))
+    assert not bad, f"HUGEINT oracle columns (cast to BIGINT): {bad}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

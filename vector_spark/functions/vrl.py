@@ -1683,10 +1683,18 @@ def parse_float(col: Column) -> Column:
 
 
 def format_int(col: Column, base: int = 10) -> Column:
-    """VRL format_int — integer → string in the given radix."""
+    """VRL format_int — integer → string in the given radix.  conv()
+    treats its input as unsigned 64-bit, so negative values get an
+    explicit sign (VRL renders -255 base 16 as '-ff', not the two's
+    complement 'ffffffffffffff01')."""
     if base == 10:
         return col.cast("long").cast("string")
-    return F.lower(F.conv(col.cast("long").cast("string"), 10, base))
+    lng = col.cast("long")
+    # magnitude via decimal(20,0) so abs(i64::MIN) doesn't overflow
+    mag = F.lower(
+        F.conv(F.abs(lng.cast("decimal(20,0)")).cast("string"), 10, base)
+    )
+    return F.when(lng < 0, F.concat(F.lit("-"), mag)).otherwise(mag)
 
 
 def is_json(col: Column) -> Column:

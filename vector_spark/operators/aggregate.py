@@ -105,12 +105,14 @@ def sliding_aggregate(
     epoch = F.unix_timestamp(ts)
     # newest window containing the event starts at floor(t/slide)*slide;
     # it belongs to interval/slide consecutive slide-aligned windows
+    # pmod keeps the alignment floor-like for pre-1970 (negative
+    # epoch) timestamps; negative window starts are allowed, matching
+    # Spark's window(ts, interval, slide) — every event belongs to
+    # exactly interval/slide windows, so the sequence is never empty
+    # (round-5 advice: a 0-clamp on first_start alone made the
+    # sequence bounds cross for negative epochs and killed the job)
     last_start = (epoch - F.pmod(epoch, F.lit(slide_sec)))
-    first_start = F.greatest(
-        last_start - F.lit(interval_sec - slide_sec),
-        # events near the epoch origin: no negative window starts
-        F.lit(0).cast("long"),
-    )
+    first_start = last_start - F.lit(interval_sec - slide_sec)
     starts = F.sequence(first_start, last_start, F.lit(slide_sec))
     aggs = []
     for out, (mode, col) in specs.items():

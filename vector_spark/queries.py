@@ -1958,9 +1958,12 @@ WITH e AS (
   FROM events
 ),
 x AS (
+  -- floor-mod alignment (matches Spark pmod for negative epochs);
+  -- no clamp: every event lands in exactly interval/slide windows
   SELECT event_type, value,
          unnest(generate_series(
-           greatest((t - t % 1800) - 1800, 0), t - t % 1800, 1800
+           (t - ((t % 1800) + 1800) % 1800) - 1800,
+           t - ((t % 1800) + 1800) % 1800, 1800
          )) AS ws
   FROM e
 )

@@ -1391,7 +1391,7 @@ def q_doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {_TOK_CTE.lstrip()},
 {_NB_SQL.lstrip()},
-scored AS (SELECT d.source, d.doc_id, sc.s AS score_milli
+scored AS (SELECT d.source, d.doc_id, CAST(sc.s AS BIGINT) AS score_milli
            FROM documents d JOIN sc USING (doc_id)
            WHERE d.source IS NOT NULL)
 SELECT source, doc_id, score_milli FROM scored

@@ -680,6 +680,7 @@ def read_avro(
     applies spec schema resolution PER FILE against each file's own
     writer schema — mixed-generation directories (an evolved producer
     mid-rollout) read into one uniform reader-shaped frame."""
+    explicit_schema = schema_json is not None
     if schema_json is None:
         import glob as _glob
         import os as _os
@@ -700,7 +701,17 @@ def read_avro(
     parsed = parse_schema(reader_schema or schema_json)
     ddl = _struct_ddl(reader_schema or schema_json)
     spark_schema = "value string"
-    reader_parsed = parse_schema(reader_schema) if reader_schema else None
+    # an explicitly supplied schema_json acts as the READER schema too:
+    # each container resolves its own writer schema against it (spec
+    # resolution — renames error, reorders match by name) instead of
+    # rendering writer-decoded records through a mismatched shape,
+    # which silently NULLed renamed/reordered fields (round-5 advice)
+    if reader_schema:
+        reader_parsed = parse_schema(reader_schema)
+    elif explicit_schema:
+        reader_parsed = parsed
+    else:
+        reader_parsed = None
 
     binary = spark.read.format("binaryFile").load(path)
 

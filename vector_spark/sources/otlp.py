@@ -296,7 +296,9 @@ def _number_point(b: bytes) -> dict:
             _expect(wt, _I64, "NumberDataPoint.as_double")
             out["asDouble"] = _f64(v)
         elif fno == 6:
-            _expect(wt, _VARINT, "NumberDataPoint.as_int")
+            # `sfixed64 as_int = 6` (metrics.proto) — wire type I64,
+            # NOT varint; raw little-endian two's complement
+            _expect(wt, _I64, "NumberDataPoint.as_int")
             out["asInt"] = _signed(v)
     return out
 

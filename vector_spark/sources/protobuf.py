@@ -173,11 +173,21 @@ def decode_message(
             continue  # unknown field: skip (compat rule)
         name, ftype = f["name"], f["type"]
         if f.get("map"):
+            if wt != _LEN:  # map entries are length-delimited messages
+                raise ValueError(
+                    f"wire type {wt} != {_LEN} for map field "
+                    f"{message_type}.{name}"
+                )
             entry = decode_message(v, registry, f["type_name"])
             out.setdefault(name, {})[str(entry.get("key"))] = \
                 entry.get("value")
             continue
         if ftype == _T_MESSAGE:
+            if wt != _LEN:  # a varint here would recurse into an int
+                raise ValueError(
+                    f"wire type {wt} != {_LEN} for message field "
+                    f"{message_type}.{name}"
+                )
             val = decode_message(v, registry, f["type_name"])
         elif f["repeated"] and wt == _LEN and _WIRE_OF[ftype] != _LEN:
             # packed repeated scalars
@@ -689,7 +699,10 @@ def decode_protobuf_py(
                 return None
             try:
                 v = decode_message(bytes(b), registry, message_type)
-            except (ValueError, ProtoSchemaError):
+            except (ValueError, TypeError, ProtoSchemaError):
+                # TypeError is defense-in-depth: wire types are
+                # validated before recursion, but malformed input must
+                # follow the NULL-on-invalid channel, never kill a task
                 return None
             return json.dumps(v, separators=(",", ":"), sort_keys=True)
 
