@@ -517,7 +517,11 @@ def pq_encode(
         for mi in range(m):
             sub = x[:, mi * dsub : (mi + 1) * dsub]
             d2 = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
-            codes[:, mi] = d2.argmin(1)
+            # round-12 before argmin: makes the code assignment
+            # replayable by the SQL oracle (different but valid
+            # float summation orders agree after quantization);
+            # ties still take the lowest code (first minimum)
+            codes[:, mi] = np.round(d2, 12).argmin(1)
         return pd.Series(list(codes))
 
     return vectors.withColumn(code_col, _enc(F.col(vec_col)))
@@ -575,13 +579,13 @@ def pq_topk(
     def _lut(vecs: pd.Series) -> pd.Series:
         x = _normalized_batch(vecs)
         # per query: lut[mi][c] = <q_sub_mi, codebook[mi][c]>
-        luts = np.stack(
+        luts = np.round(np.stack(
             [
                 x[:, mi * dsub : (mi + 1) * dsub] @ books[mi].T
                 for mi in range(m)
             ],
             axis=1,
-        )  # B x m x ksub
+        ), 9)  # B x m x ksub; round-9 = oracle-replayable entries
         return pd.Series([[list(row) for row in l] for l in luts])
 
     use_ivf = bool(n_lists) or ivf_centroids is not None
@@ -621,9 +625,12 @@ def pq_topk(
         )
     else:
         cand = codes.crossJoin(F.broadcast(q.select("query_id", "_lut")))
+    # round-6 on the ADC score: shortlist membership becomes
+    # summation-order-independent (the oracle's grouped SUM need not
+    # reproduce the fold order); boundary ties break on neighbor_id
     cand = cand.filter(
         F.col("neighbor_id") != F.col("query_id")
-    ).withColumn("_adc", adc)
+    ).withColumn("_adc", F.round(adc, 6))
     wr = W.partitionBy("query_id").orderBy(
         F.desc("_adc"), F.asc("neighbor_id")
     )

@@ -58,6 +58,23 @@ def register(name: str, oracle: str | None):
 #   redact_pii rotates out (green r1-r3; the remap family stays repped
 #   by remap_program + the parse queries) for emb_diversity_sample
 #   (new capability, full oracle).
+# r5 rotation (the r4 verdict's item 3 — after this every oracled query
+# has had driver evidence at least once):
+# OUT (driver-green r3+r4, family still in-window):
+#   doc_minhash_signatures, doc_simhash, doc_incremental_dedup,
+#   doc_line_dedup_global (dedup class repped by doc_exact_dedup,
+#   doc_minhash_lsh_pairs, doc_near_dedup_corpus, doc_dup_clusters,
+#   doc_span_dedup), doc_text_analysis + doc_repetition (quality
+#   class repped by doc_gopher_quality, doc_boilerplate,
+#   doc_quality_grades), doc_temperature_mix (mixing repped by
+#   doc_quota_sample + incoming doc_training_mix), emb_near_dup_pairs
+#   (embedding near-dup repped by incoming emb_near_dedup_corpus +
+#   emb_dup_clusters).
+# IN: cri_roundtrip, docker_json_roundtrip, gelf_roundtrip,
+#   static_enrich_fields, trace_to_log_relabel, doc_training_mix,
+#   emb_near_dedup_corpus (never driver-verified), doc_curation_e2e
+#   (new r5: composed langid->grade->dedup->decontaminate->quota
+#   chain under one hash gate).
 _PRIORITY: list[str] = [
     # parse / order / enrich (turns_stable_order rotated out r4: the
     # ordering contract is exercised by every pipeline query; its slot
@@ -97,19 +114,24 @@ _PRIORITY: list[str] = [
     # round-3 breadth: grok base patterns + framing
     "grok_apache_combined", "octet_framed_syslog",
     # LLM-datapipe suite (fell outside the r2 window; must be inside)
-    "doc_exact_dedup", "doc_minhash_signatures", "doc_minhash_lsh_pairs",
-    "doc_near_dedup_corpus", "doc_dup_clusters", "doc_incremental_dedup",
-    "doc_simhash", "doc_text_analysis",
+    "doc_exact_dedup", "doc_minhash_lsh_pairs",
+    "doc_near_dedup_corpus", "doc_dup_clusters",
     # emb_cosine_topk rotated out (green r2-r3; exact-cosine stays
     # repped by emb_sq8_topk's hash gate + the recall gates that
     # compare against it); its slot goes to doc_chunking
     "emb_ann_topk", "emb_ivf_topk",
     "doc_chunking",
-    "emb_near_dup_pairs", "emb_sq8_topk",
+    "emb_sq8_topk",
     # r3-continuation training-data ops (first-class per the brief)
-    "doc_repetition", "doc_gopher_quality", "doc_decontamination",
-    "doc_line_dedup_global", "doc_sequence_packing",
-    "doc_temperature_mix", "doc_quota_sample",
+    "doc_gopher_quality", "doc_decontamination",
+    "doc_sequence_packing",
+    "doc_quota_sample",
+    # r5 rotation: first driver evidence for the last 7 never-verified
+    # queries + the new composed-curation gate
+    "cri_roundtrip", "docker_json_roundtrip", "gelf_roundtrip",
+    "static_enrich_fields", "trace_to_log_relabel",
+    "doc_training_mix", "emb_near_dedup_corpus",
+    "doc_curation_e2e",
     # r4 rotation: first driver evidence for the session-4/5 ops
     "doc_classifier_scores", "doc_topk_per_source", "doc_dsir_selection",
     "doc_ccnet_buckets", "doc_boilerplate", "doc_train_split",
