@@ -148,6 +148,9 @@ def tag_cardinality_limit(
     action: str = "drop_tag",
     ts_col: str = "ts",
     order_by: list[str] | None = None,
+    mode: str = "exact",
+    cache_bits: int = 4096,
+    bloom_k: int = 4,
 ) -> DataFrame:
     """Cap distinct values per tag column
     (/root/reference/src/transforms/tag_cardinality_limit/config.rs:89-170).
@@ -161,22 +164,97 @@ def tag_cardinality_limit(
     never dropped).  Cost: one small agg per tag (distinct values)
     broadcast back — no extra shuffle of the fact table.
 
+    Tracking ``mode`` mirrors config.rs:125-148 / tag_value_set.rs:
+
+    - ``exact``: the first-seen value set itself.
+    - ``exact_fingerprint``: track 60-bit portable-hash fingerprints
+      instead of strings — the memory trade; a fingerprint collision
+      admits the colliding value (reference: "a very small chance of
+      collisions at very high cardinalities").
+    - ``probabilistic``: a ``cache_bits``-wide bloom filter
+      (``bloom_k`` hashes) over the first ``value_limit`` inserted
+      values; a post-limit value is STILL accepted when all its bit
+      positions collide with inserted bits — the reference's "may
+      occasionally allow metric events to pass through", tunable via
+      cache size.  The filter is the portable md5-bit construction
+      (operators/probabilistic.py), so the oracle replays every
+      false positive.
+
     The acceptance set is a parallel top-K (``orderBy().limit()`` →
     TakeOrderedAndProject: per-partition heaps, K·P rows merged at the
     driver), NOT a global-window row_number — the distinct-values frame
     is exactly what explodes in the cardinality-blowup scenario this
     operator guards against, so it must never hit a single reducer.
+    In probabilistic mode the post-limit bloom test is a distributed
+    join on bit position over the distinct-values frame — never a
+    driver-side set.
     """
+    from vector_spark.datapipe.dedup import portable_hash60
+    from vector_spark.operators.probabilistic import (
+        bloom_build,
+        bloom_positions,
+    )
+
+    if mode not in ("exact", "exact_fingerprint", "probabilistic"):
+        raise ValueError(f"unknown tag_cardinality mode {mode!r}")
     out = df
     for tag in tag_cols:
-        first_seen = (
+        vals = (
             df.filter(F.col(tag).isNotNull())
             .groupBy(tag)
             .agg(F.min(ts_col).alias("_first_ts"))
-            .orderBy(F.col("_first_ts"), F.col(tag))
-            .limit(value_limit)
-            .select(F.col(tag).alias("_ok_val"))
         )
+        if mode == "exact_fingerprint":
+            # first-seen per FINGERPRINT: every value mapping to an
+            # accepted fingerprint is accepted (collision = extra value)
+            fp = portable_hash60(F.col(tag).cast("string"))
+            ok_fps = (
+                vals.withColumn("_fp", fp)
+                .groupBy("_fp")
+                .agg(F.min("_first_ts").alias("_first_ts"))
+                .orderBy(F.col("_first_ts"), F.col("_fp"))
+                .limit(value_limit)
+                .select("_fp")
+            )
+            first_seen = (
+                vals.withColumn("_fp", fp)
+                .join(F.broadcast(ok_fps), "_fp")
+                .select(F.col(tag).alias("_ok_val"))
+            )
+        else:
+            first_seen = (
+                vals.orderBy(F.col("_first_ts"), F.col(tag))
+                .limit(value_limit)
+                .select(F.col(tag).alias("_ok_val"))
+            )
+        if mode == "probabilistic":
+            bits = bloom_build(
+                first_seen, "_ok_val", m_bits=cache_bits, k=bloom_k
+            )
+            fp_hits = (
+                vals.join(
+                    F.broadcast(
+                        first_seen.withColumnRenamed("_ok_val", tag)
+                    ),
+                    tag,
+                    "left_anti",
+                )
+                .withColumn(
+                    "_pos",
+                    F.explode(
+                        bloom_positions(
+                            F.col(tag), m_bits=cache_bits, k=bloom_k
+                        )
+                    ),
+                )
+                .join(F.broadcast(bits.withColumnRenamed("pos", "_pos")),
+                      "_pos")
+                .groupBy(tag)
+                .agg(F.count(F.lit(1)).alias("_n_hit"))
+                .filter(F.col("_n_hit") == bloom_k)
+                .select(F.col(tag).alias("_ok_val"))
+            )
+            first_seen = first_seen.unionByName(fp_hits)
         ok = F.broadcast(first_seen)
         joined = out.join(ok, out[tag] == ok["_ok_val"], "left")
         if action == "drop_tag":

@@ -1988,3 +1988,245 @@ def q_events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_sec=3600,
         slide_sec=1800,
     )
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic membership (round 5): bloom + cuckoo enrichment tables
+# and the probabilistic tag_cardinality_limit mode — portable md5-bit
+# constructions, so the oracle replays every bit position, fingerprint,
+# and false positive.
+
+_B60 = "try_cast(concat('0x', substr(md5({e}), 1, 15)) AS BIGINT)"
+
+
+def _bloom_pos_sql(i: int, key: str, m_bits: int) -> str:
+    return (
+        _B60.format(
+            e=f"concat_ws(':', 'bloom{i}', CAST({key} AS VARCHAR))"
+        )
+        + f" % {m_bits}"
+    )
+
+
+@register(
+    "bloom_table_membership",
+    f"""
+WITH k AS (
+  SELECT user_id FROM events WHERE event_type = 'error'
+  GROUP BY user_id HAVING count(*) >= 10
+),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    SELECT {_bloom_pos_sql(0, 'user_id', 256)} AS pos FROM k
+    UNION ALL
+    SELECT {_bloom_pos_sql(1, 'user_id', 256)} AS pos FROM k
+  )
+),
+dv AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+probe AS (
+  SELECT user_id, unnest([{_bloom_pos_sql(0, 'user_id', 256)},
+                          {_bloom_pos_sql(1, 'user_id', 256)}]) AS pos
+  FROM dv
+),
+hits AS (
+  SELECT user_id FROM probe JOIN bits USING (pos)
+  GROUP BY user_id HAVING count(*) = 2
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE h.user_id IS NOT NULL) AS BIGINT)
+         AS n_bloom_hits,
+       CAST(count(*) FILTER (WHERE h.user_id IS NOT NULL
+                               AND k2.user_id IS NULL) AS BIGINT)
+         AS n_false_positives
+FROM events e
+LEFT JOIN hits h ON e.user_id = h.user_id
+LEFT JOIN k k2 ON e.user_id = k2.user_id
+GROUP BY e.event_type""",
+)
+def q_bloom_table_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom enrichment table (operators/probabilistic.py — the
+    bloom_table.rs re-spec): heavy-error users (>= 10 error events)
+    populate a 256-bit / 2-hash filter; every event probes its
+    user_id.  Per event_type: events, bloom hits, and FALSE POSITIVES
+    vs the exact key set — the approximation error itself is under the
+    hash gate, because the md5-bit construction is replayed by the
+    oracle.  Scale: build is one explode+distinct over the key set;
+    probes test the distinct-key frame and broadcast the verdict — the
+    fact side never shuffles."""
+    from vector_spark.operators.probabilistic import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    keys = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 10)
+        .select("user_id")
+    )
+    bits = bloom_build(keys, "user_id", m_bits=256, k=2)
+    probed = bloom_contains(ev, bits, "user_id", m_bits=256, k=2)
+    exact = keys.withColumn("_exact", F.lit(True))
+    probed = probed.join(F.broadcast(exact), "user_id", "left")
+    return probed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+        F.sum(
+            (F.col("bloom_hit") & F.col("_exact").isNull()).cast("long")
+        ).alias("n_false_positives"),
+    )
+
+
+@register(
+    "cuckoo_table_membership",
+    f"""
+WITH base AS (
+  SELECT user_id AS key, min(ts) AS _ord FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+),
+t AS (
+  SELECT key, _ord,
+         {_B60.format(e="concat_ws(':', 'cfp', CAST(key AS VARCHAR))")}
+           % 4096 AS fp,
+         {_B60.format(e="concat_ws(':', 'cb1', CAST(key AS VARCHAR))")}
+           % 64 AS b1
+  FROM base
+),
+t2 AS (
+  SELECT *,
+         xor(b1, {_B60.format(e="concat_ws(':', 'cb2', CAST(fp AS VARCHAR))")})
+           % 64 AS b2,
+         row_number() OVER (PARTITION BY b1 ORDER BY _ord, key) AS rn1
+  FROM t
+),
+p1 AS (SELECT key, fp, b1 AS bucket FROM t2 WHERE rn1 <= 2),
+occ AS (SELECT bucket, count(*) AS o FROM p1 GROUP BY bucket),
+ov AS (
+  SELECT t2.key, t2.fp, t2.b2, coalesce(occ.o, 0) AS o,
+         row_number() OVER (PARTITION BY t2.b2 ORDER BY t2._ord, t2.key)
+           AS rn2
+  FROM t2 LEFT JOIN occ ON occ.bucket = t2.b2
+  WHERE t2.rn1 > 2
+),
+p2 AS (SELECT key, fp, b2 AS bucket FROM ov WHERE rn2 + o <= 2),
+placed AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_placed,
+         CAST((SELECT count(*) FROM base) - count(*) AS BIGINT) AS n_dropped
+  FROM placed
+),
+stored AS (SELECT DISTINCT bucket, fp FROM placed),
+cand AS (SELECT key, fp, unnest([b1, b2]) AS bucket FROM t2),
+hits AS (SELECT DISTINCT key FROM cand JOIN stored USING (bucket, fp))
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE h.key IS NOT NULL) AS BIGINT)
+         AS n_cuckoo_hits,
+       CAST(sum(t.fp) AS BIGINT) AS fp_checksum,
+       any_value(s.n_placed) AS n_placed,
+       any_value(s.n_dropped) AS n_dropped
+FROM events e
+LEFT JOIN hits h ON e.user_id = h.key
+LEFT JOIN t ON e.user_id = t.key
+CROSS JOIN stats s
+GROUP BY e.event_type""",
+)
+def q_cuckoo_table_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo enrichment table (operators/probabilistic.py — the
+    cuckoo_table.rs re-spec): all user ids insert in first-seen order
+    into a 64-bucket x 2-slot filter of 12-bit fingerprints; overflow
+    beyond both candidate buckets is DROPPED and accounted (n_dropped,
+    like the reference's max_kicks insert failure).  Every event then
+    probes its user_id; the per-type hit counts, the probe fingerprint
+    checksum, and the placed/dropped totals all sit under the hash
+    gate — the oracle replays placement (two windowed phases),
+    fingerprints, and lookups from the same md5 constructions."""
+    from vector_spark.operators.probabilistic import (
+        cuckoo_build,
+        cuckoo_contains,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    table = cuckoo_build(
+        ev, "user_id", n_buckets=64, bucket_size=2,
+        fingerprint_bits=12, order_col="ts",
+    )
+    probed = cuckoo_contains(
+        ev, table, "user_id", n_buckets=64, fingerprint_bits=12,
+    )
+    stats = table.agg(
+        F.sum(F.col("placed").cast("long")).alias("n_placed"),
+        F.sum((~F.col("placed")).cast("long")).alias("n_dropped"),
+    )
+    return (
+        probed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("cuckoo_hit").cast("long")).alias("n_cuckoo_hits"),
+            F.sum("fingerprint").alias("fp_checksum"),
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+
+
+@register(
+    "tag_cardinality_probabilistic",
+    f"""
+WITH vals AS (
+  SELECT user_id, min(ts) AS first_ts FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+),
+ins AS (
+  SELECT user_id FROM (
+    SELECT user_id, row_number() OVER (ORDER BY first_ts, user_id) AS r
+    FROM vals
+  ) WHERE r <= 20
+),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    SELECT {_bloom_pos_sql(0, 'user_id', 128)} AS pos FROM ins
+    UNION ALL
+    SELECT {_bloom_pos_sql(1, 'user_id', 128)} AS pos FROM ins
+  )
+),
+fp AS (
+  SELECT user_id FROM (
+    SELECT v.user_id,
+           unnest([{_bloom_pos_sql(0, 'v.user_id', 128)},
+                   {_bloom_pos_sql(1, 'v.user_id', 128)}]) AS pos
+    FROM vals v LEFT JOIN ins USING (user_id) WHERE ins.user_id IS NULL
+  ) p JOIN bits USING (pos)
+  GROUP BY user_id HAVING count(*) = 2
+),
+ok AS (SELECT user_id FROM ins UNION ALL SELECT user_id FROM fp)
+SELECT CASE WHEN e.user_id IN (SELECT user_id FROM ok)
+            THEN e.user_id END AS user_id,
+       CAST(count(*) AS BIGINT) AS n
+FROM events e GROUP BY 1""",
+)
+def q_tag_cardinality_probabilistic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probabilistic tag_cardinality_limit (config.rs:125-148 /
+    tag_value_set.rs): the first 20 first-seen user ids insert into a
+    128-bit / 2-hash bloom cache; later ids whose bit positions ALL
+    collide with inserted bits still pass (the mode's documented
+    false-positive trade), everything else is nulled.  The oracle
+    re-derives the insert set, the bit cache, and every false positive
+    from the same md5 construction, so the approximation behavior —
+    not just the exact-mode subset — is under the hash gate."""
+    from vector_spark.operators.metrics import tag_cardinality_limit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id"
+    )
+    limited = tag_cardinality_limit(
+        ev, ["user_id"], value_limit=20,
+        mode="probabilistic", cache_bits=128, bloom_k=2,
+    )
+    return limited.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
