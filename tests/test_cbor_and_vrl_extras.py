@@ -259,3 +259,74 @@ def test_format_int_negative_bases(spark):
     assert out["neg_bin"] == "-1010"
     assert out["neg_dec"] == "-10"
     assert out["zero_hex"] == "0"
+
+
+def test_encode_cef_reference_shape(spark):
+    """encoding/format/cef.rs:292-345: header escaping, sorted
+    extensions, skip-empty, severity validation."""
+    from vector_spark.functions import vrl
+
+    df = spark.createDataFrame(
+        [("evt|one", 5, "a=b", "x", ""), ("n", 11, "v", None, "y")],
+        "name string, sev int, cs1 string, src string, act string",
+    )
+    out = df.select(
+        vrl.encode_cef(
+            F.col("name"), F.col("sev"),
+            device_vendor="v|d",
+            device_product="p",
+            device_version="1",
+            device_event_class_id="c",
+            extensions={
+                "src": F.col("src"),
+                "cs1": F.col("cs1"),
+                "act": F.col("act"),
+            },
+        ).alias("line")
+    ).collect()
+    # header pipes escaped (name AND device settings), extension '='
+    # escaped, extensions sorted, empty act skipped
+    assert out[0]["line"] == (
+        "CEF:0|v\\|d|p|1|c|evt\\|one|5|act= cs1=a\\=b src=x"
+        .replace("act= ", "")  # empty act skipped entirely
+    )
+    # severity 11 > 10: serializer error -> NULL row result
+    assert out[1]["line"] is None
+
+
+def test_encode_cef_parse_cef_inverse(spark):
+    from vector_spark.functions import vrl
+
+    df = spark.createDataFrame(
+        [("path|with\\pipes", "k=v \\ w", 0)],
+        "name string, ext string, sev int",
+    )
+    c = vrl.parse_cef(
+        vrl.encode_cef(F.col("name"), F.col("sev"),
+                       extensions={"msg": F.col("ext")})
+    )
+    row = df.select(
+        c.getField("name").alias("name"),
+        F.element_at(c.getField("extensions"), "msg").alias("msg"),
+        c.getField("severity").cast("int").alias("sev"),
+        c.getField("device_vendor").alias("vendor"),
+    ).collect()[0]
+    assert row["name"] == "path|with\\pipes"
+    assert row["msg"] == "k=v \\ w"
+    assert row["sev"] == 0
+    assert row["vendor"] == "Datadog"  # cef.rs:17 default
+
+
+def test_encode_cef_prefix_key_sort(spark):
+    """The reference sorts FORMATTED 'key=value' strings: key 'a1'
+    sorts before 'a' because '1' < '='."""
+    from vector_spark.functions import vrl
+
+    df = spark.createDataFrame([("x", "y", 1)], "a string, a1 string, sev int")
+    line = df.select(
+        vrl.encode_cef(
+            F.lit("n"), F.col("sev"),
+            extensions={"a": F.col("a"), "a1": F.col("a1")},
+        ).alias("l")
+    ).collect()[0]["l"]
+    assert line.endswith("|a1=y a=x")

@@ -333,3 +333,72 @@ def test_run_topology_unpersists_on_build_failure(spark):
         time.sleep(0.1)
     assert (spark.sparkContext._jsc.sc().getPersistentRDDs().size()
             <= baseline)
+
+
+def test_vrl_decoder_codec(spark, tmp_path):
+    """``decoding: vrl`` on a text source
+    (lib/codecs/src/decoding/format/vrl.rs): frames decode by running
+    a program over {message: <line>}; unparseable frames are decoding
+    errors and are dropped, not crashed on."""
+    p = tmp_path / "lines.log"
+    p.write_text(
+        "type=click user=7\ntype=error user=9\ngarbage\ntype=view user=11\n"
+    )
+    topo = {
+        "sources": {
+            "in": {
+                "type": "text", "path": str(p), "codec": "vrl",
+                "vrl": {
+                    "assignments": {
+                        "etype": "regexp_extract(message, 'type=([^ ]+)', 1)",
+                        "user": (
+                            "try_cast(regexp_extract(message,"
+                            " 'user=([^ ]+)', 1) AS BIGINT)"
+                        ),
+                    },
+                    "error_when": "etype = ''",
+                    "deletions": ["message"],
+                },
+            }
+        },
+        "transforms": {
+            "errs": {"type": "filter", "inputs": ["in"],
+                     "condition": "etype = 'error'"},
+        },
+    }
+    res = build_topology(spark, topo)
+    rows = {r["etype"]: r["user"] for r in res["in"].collect()}
+    # the garbage frame is a decoding error: dropped, never emitted
+    assert rows == {"click": 7, "error": 9, "view": 11}
+    assert res["in"].columns == ["etype", "user"]  # message deleted
+    assert res["errs"].count() == 1
+
+
+def test_vrl_decoder_on_framed_file_source(spark, tmp_path):
+    """``decoding: vrl`` composes with non-newline framing: the file
+    source's octet-counted frames feed the program."""
+    p = tmp_path / "framed.log"
+    msgs = ["type=a n=1", "type=b n=2"]
+    p.write_text("".join(f"{len(m)} {m}" for m in msgs))
+    topo = {
+        "sources": {
+            "in": {
+                "type": "file", "path": str(p),
+                "framing": {"method": "octet_counting"},
+                "codec": "vrl",
+                "vrl": {
+                    "assignments": {
+                        "etype": "regexp_extract(message, 'type=([^ ]+)', 1)",
+                        "n": (
+                            "try_cast(regexp_extract(message,"
+                            " 'n=([^ ]+)', 1) AS BIGINT)"
+                        ),
+                    },
+                },
+            }
+        },
+        "transforms": {},
+    }
+    res = build_topology(spark, topo)
+    got = sorted((r["etype"], r["n"]) for r in res["in"].collect())
+    assert got == [("a", 1), ("b", 2)]

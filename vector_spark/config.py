@@ -90,6 +90,19 @@ def _union_inputs(results: dict[str, Any], refs: list[str]) -> DataFrame:
 
 def _build_source(spark: SparkSession, cfg: dict) -> DataFrame:
     typ = cfg["type"]
+    if cfg.get("codec") == "vrl" and typ in ("text", "file"):
+        # decoding: vrl (lib/codecs/src/decoding/format/vrl.rs): frames
+        # (newline lines, or whatever the file source's framing yields)
+        # decode by running a program over {message: <frame>}; program
+        # error / abort = decoding error, frame dropped
+        from vector_spark.sources.readers import decode_vrl
+
+        if typ == "text":
+            lines = spark.read.text(cfg["path"])
+        else:
+            sub = {k: v for k, v in cfg.items() if k not in ("codec", "vrl")}
+            lines = _build_source(spark, sub)
+        return decode_vrl(lines, cfg.get("vrl", {}))
     if typ == "transcripts":
         from vector_spark.data.transcripts import transcripts_table
 

@@ -294,6 +294,80 @@ def parse_cef(col: Column) -> Column:
     )
 
 
+def _cef_escape_header(c: Column) -> Column:
+    # escape_special_chars(s, '|'): backslash first, then the pipe
+    return F.regexp_replace(
+        F.regexp_replace(c, r"\\", r"\\\\"), r"\|", r"\\|"
+    )
+
+
+def _cef_escape_ext(c: Column) -> Column:
+    # escape_special_chars(s, '='): backslash first, then '='
+    return F.regexp_replace(
+        F.regexp_replace(c, r"\\", r"\\\\"), "=", r"\\="
+    )
+
+
+def encode_cef(
+    name: Column,
+    severity: Column,
+    *,
+    version: int = 0,
+    device_vendor: str = "Datadog",
+    device_product: str = "Vector",
+    device_version: str = "0",
+    device_event_class_id: str = "Telemetry Event",
+    extensions: dict[str, Column] | None = None,
+) -> Column:
+    """CEF encoder
+    (/root/reference/lib/codecs/src/encoding/format/cef.rs:292-345):
+    ``CEF:v|vendor|product|device_version|class_id|name|severity`` with
+    backslash+pipe escaping in header fields, backslash+equals escaping
+    in extension values; empty/NULL extension values are SKIPPED;
+    extensions render sorted by their formatted ``key=`` prefix (the
+    reference sorts the formatted strings).  Device settings are
+    config-time strings with the same defaults as the reference
+    (cef.rs:17-24).  A NULL/out-of-range severity (must be 0..10) makes
+    the whole result NULL — the Column rendering of the reference's
+    serializer error, following the repo's NULL-on-invalid error
+    convention."""
+    dev = "|".join(
+        s.replace("\\", "\\\\").replace("|", "\\|")
+        for s in (device_vendor, device_product, device_version,
+                  device_event_class_id)
+    )
+    sev = severity.cast("int")
+    header = F.concat(
+        F.lit(f"CEF:{version}|{dev}|"),
+        _cef_escape_header(name.cast("string")),
+        F.lit("|"),
+        sev.cast("string"),
+    )
+    parts = []
+    for k in sorted(extensions or {}, key=lambda k: k + "="):
+        v = (extensions or {})[k].cast("string")
+        parts.append(
+            F.when(
+                v.isNotNull() & (v != ""),
+                F.concat(F.lit(f"{k}="), _cef_escape_ext(v)),
+            )
+        )
+    if parts:
+        exts = F.filter(
+            F.array(*parts), lambda p: p.isNotNull()
+        )
+        tail = F.when(
+            F.size(exts) > 0,
+            F.concat(F.lit("|"), F.array_join(exts, " ")),
+        ).otherwise(F.lit(""))
+    else:
+        tail = F.lit("")
+    return F.when(
+        sev.isNotNull() & (sev >= 0) & (sev <= 10),
+        F.concat(header, tail),
+    )
+
+
 #: AWS VPC flow log v2 default format (14 space-separated fields)
 VPC_FLOW_SCHEMA = (
     "version int, account_id string, interface_id string, srcaddr string, "

@@ -1004,35 +1004,49 @@ def q_reduce_ends_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed_cte(N_ORACLE)
     + """
 SELECT conv_id, turn_idx,
-       'vector_spark' AS vendor, http_status AS severity_num,
-       http_url AS name, client_ip AS src
+       'vector_spark' AS vendor,
+       concat(http_url, '|p') AS name,
+       5 AS severity_num,
+       client_ip AS src,
+       concat('status=', CAST(http_status AS VARCHAR)) AS cs1
 FROM parsed WHERE format = 'apache'""",
 )
 def q_cef_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """parse_cef: apache turns re-rendered as CEF lines (escaped
-    header + key=value extensions), parsed back; the oracle recovers
-    the fields directly so header parsing, unescaping, and the
-    extension map are all under the hash gate."""
+    """CEF BOTH directions (encoding/format/cef.rs + VRL parse_cef):
+    apache turns ENCODE via encode_cef — header pipe-escaping (the name
+    carries a literal '|'), extension equals-escaping (cs1 carries a
+    literal '='), sorted extensions, skip-empty — then parse back.
+    The oracle recovers the fields directly, so the encoder's escaping
+    and the parser's unescaping must cancel exactly for the hash to
+    match."""
     from vector_spark.functions.parse import parse_transcripts
-    from vector_spark.functions.vrl import parse_cef
+    from vector_spark.functions.vrl import encode_cef, parse_cef
 
     df = parse_transcripts(load_transcripts(spark, sf_dir)).filter(
         F.col("format") == "apache"
     )
-    line = F.concat(
-        F.lit("CEF:0|vector_spark|engine|1.0|"),
-        F.col("parsed.http_status").cast("string"),
-        F.lit("|"), F.col("parsed.http_url"),
-        F.lit("|5|src="), F.col("parsed.client_ip"),
-        F.lit(" act=allow"),
+    line = encode_cef(
+        F.concat(F.col("parsed.http_url"), F.lit("|p")),
+        F.lit(5),
+        device_vendor="vector_spark",
+        device_product="engine",
+        device_version="1.0",
+        extensions={
+            "src": F.col("parsed.client_ip"),
+            "act": F.lit("allow"),
+            "cs1": F.concat(
+                F.lit("status="), F.col("parsed.http_status").cast("string")
+            ),
+        },
     )
     c = parse_cef(line)
     return df.select(
         "conv_id", "turn_idx",
         c.getField("device_vendor").alias("vendor"),
-        c.getField("device_event_class_id").cast("int").alias("severity_num"),
         c.getField("name").alias("name"),
+        c.getField("severity").cast("int").alias("severity_num"),
         F.element_at(c.getField("extensions"), "src").alias("src"),
+        F.element_at(c.getField("extensions"), "cs1").alias("cs1"),
     )
 
 
@@ -2229,4 +2243,76 @@ def q_tag_cardinality_probabilistic(
     )
     return limited.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "vrl_decode_lines",
+    """
+WITH raw AS (
+  SELECT CASE WHEN event_id % 97 = 0 THEN concat('garbage ', CAST(event_id AS VARCHAR))
+         ELSE concat('type=', event_type,
+                     ' value=', CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR),
+                     ' user=', CAST(coalesce(user_id, -1) AS VARCHAR))
+         END AS message
+  FROM events
+),
+d AS (
+  SELECT regexp_extract(message, 'type=([^ ]+)', 1) AS etype,
+         try_cast(regexp_extract(message, 'value=([^ ]+)', 1) AS BIGINT) AS v100,
+         try_cast(regexp_extract(message, 'user=([^ ]+)', 1) AS BIGINT) AS user
+  FROM raw
+)
+SELECT etype,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v100) AS BIGINT) AS sum_v100,
+       CAST(sum(user) AS BIGINT) AS sum_user
+FROM d WHERE etype <> ''
+GROUP BY etype""",
+)
+def q_vrl_decode_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``decoding: vrl`` (sources/readers.py:decode_vrl — the
+    decoding/format/vrl.rs re-spec): render events as raw log lines
+    (with a deterministic slice of GARBAGE lines every 97th event),
+    then decode the byte stream back by running a program over
+    ``{message: <line>}`` — field extraction, typed casts, and the
+    error channel (unparseable lines are decoding errors and are
+    dropped, not crashed on).  Per-type counts and checksums of the
+    round-tripped values sit under the hash gate."""
+    from vector_spark.sources.readers import decode_vrl
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.select(
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.concat(F.lit("garbage "), F.col("event_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("type="), F.col("event_type"),
+                F.lit(" value="),
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+                .cast("string"),
+                F.lit(" user="),
+                F.coalesce(F.col("user_id"), F.lit(-1)).cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    decoded = decode_vrl(
+        lines,
+        {
+            "assignments": {
+                "etype": "regexp_extract(message, 'type=([^ ]+)', 1)",
+                "v100": "try_cast(regexp_extract(message, 'value=([^ ]+)', 1) AS BIGINT)",
+                "user": "try_cast(regexp_extract(message, 'user=([^ ]+)', 1) AS BIGINT)",
+            },
+            "error_when": "etype = ''",
+            "deletions": ["message"],
+        },
+    )
+    return decoded.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v100").alias("sum_v100"),
+        F.sum("user").alias("sum_user"),
     )

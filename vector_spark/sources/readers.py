@@ -234,6 +234,32 @@ def read_text_decoded(
     return df.withColumn(out_col, _DECODERS[codec](F.col(value_col), schema))
 
 
+def decode_vrl(df: DataFrame, program: dict, *, value_col: str = "value") -> DataFrame:
+    """``decoding: vrl`` — decode raw frames by running a program
+    (/root/reference/lib/codecs/src/decoding/format/vrl.rs:30-165):
+    each frame becomes an event ``{message: <frame>}``, the program
+    transforms it, and the final event is the decoding result.  A
+    program error or ``abort`` is a DECODING error: the frame is
+    dropped from the output (the reference skips the event and logs),
+    it does not crash the stream.
+
+    The program is the expression re-spec the remap transform uses
+    (operators/remap.py): ``assignments`` (ordered, may reference
+    earlier ones), ``deletions``, ``error_when``, ``abort_when``."""
+    from vector_spark.operators.remap import remap
+
+    ev = df.withColumnRenamed(value_col, "message")
+    res = remap(
+        ev,
+        program.get("assignments", {}),
+        deletions=program.get("deletions", ()),
+        error_when=program.get("error_when"),
+        abort_when=program.get("abort_when"),
+        component="vrl_decoder",
+    )
+    return res.main
+
+
 # ---------------------------------------------------------------------------
 # Framing modes beyond newline
 # (/root/reference/lib/codecs/src/decoding/framing/: octet_counting.rs,
