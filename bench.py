@@ -66,6 +66,11 @@ def main() -> None:
     from vector_spark.functions.parse import parse_transcripts
     from vector_spark.operators import dedupe, reduce_events, throttle
 
+    def _maybe_profile(sp):
+        if os.environ.get("SPARK_GRAFT_PROFILE") == "1":
+            return _capture_profile(sp)
+        return None
+
     timings: dict[str, float] = {}
 
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
@@ -114,7 +119,7 @@ def main() -> None:
                 docs, threshold=0.8, max_bucket=200, max_shingle_df=200
             ).count(),
         )
-        emit(timings, n_turns, cpus)
+        emit(timings, n_turns, cpus, _maybe_profile(spark))
         return
     if only == "scale_chain":
         # the reference's 12-step chain alone (its own two-size
@@ -128,7 +133,7 @@ def main() -> None:
             .write.mode("overwrite")
             .parquet("/tmp/vector_spark_bench_chain"),
         )
-        emit(timings, n_turns, cpus)
+        emit(timings, n_turns, cpus, _maybe_profile(spark))
         return
 
     if only == "approx":
@@ -145,13 +150,13 @@ def main() -> None:
             .write.mode("overwrite")
             .parquet("/tmp/vector_spark_bench_out_approx"),
         )
-        emit(timings, n_turns, cpus)
+        emit(timings, n_turns, cpus, _maybe_profile(spark))
         return
 
     bench("pipeline", _pipeline)
 
     if only:
-        emit(timings, n_turns, cpus)
+        emit(timings, n_turns, cpus, _maybe_profile(spark))
         return
 
     # one-shuffle variant: HLL approx distinct instead of the exact
@@ -408,6 +413,50 @@ def main() -> None:
 
     bench("quality_grades", _grades)
 
+    # round-5 composed curation chain (the doc_curation_e2e driver
+    # query at bench scale): langid -> Gopher rules -> LSH near-dedup
+    # kill list -> 13-gram decontamination -> per-language token quota.
+    # Same capped-jaccard settings as near_dedup_chain (honest corpus,
+    # no quadratic blowup).
+    def _curation() -> None:
+        from vector_spark.datapipe.dedup import (
+            decontaminate, jaccard_pairs, lsh_candidates,
+            minhash_signatures,
+        )
+        from vector_spark.datapipe.langid import predict_lang
+        from vector_spark.datapipe.sampling import quota_sample
+        from vector_spark.datapipe.text import gopher_quality_flags
+
+        corpus = _docs().select("doc_id", "text")
+        pred = predict_lang(corpus).select("doc_id", "pred_lang")
+        rules = (
+            gopher_quality_flags(corpus)
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        sigs = minhash_signatures(corpus)
+        pairs = jaccard_pairs(
+            corpus, lsh_candidates(sigs), threshold=0.8,
+            max_shingle_df=1000,
+        )
+        kill = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        bench_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        benchmark = bench_docs.filter(F.col("doc_id") % 10 == 0).select(
+            "doc_id", "text"
+        )
+        cont = decontaminate(corpus, benchmark, n=13).select("doc_id")
+        surv = (
+            corpus.join(rules, "doc_id")
+            .join(kill, "doc_id", "left_anti")
+            .join(cont, "doc_id", "left_anti")
+            .join(pred, "doc_id")
+        )
+        quota_sample(surv, group_col="pred_lang", budget=5000).groupBy(
+            "pred_lang"
+        ).agg(F.count(F.lit(1)), F.sum("n_tokens")).collect()
+
+    bench("curation_e2e", _curation)
+
     # the reference's own scaling-regression DAG (12-step sync remap
     # chain, regression/cases/scale_sync_only_8_cpu) re-expressed —
     # apples-to-apples with the reference's two-size experiment
@@ -439,10 +488,61 @@ def main() -> None:
         bench("pipeline_sf1", _pipeline_sf1)
         timings["_sf1_turns_per_sec"] = round(big_n / timings["pipeline_sf1"], 1)
 
-    emit(timings, n_turns, cpus)
+    emit(timings, n_turns, cpus, _maybe_profile(spark))
 
 
-def emit(timings: dict, n_turns: int, cpus: int) -> None:
+def _capture_profile(spark) -> dict | None:
+    """Whole-app shuffle + GC totals from the status REST API (needs
+    SPARK_GRAFT_PROFILE=1 so the UI is on).  Cumulative across the
+    app's lifetime — warmup and every bench iteration included — so it
+    profiles the leg, not a single job; per-leg comparisons between
+    identical bench invocations are apples-to-apples."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    # executor GC totals reach the status store on the 10s heartbeat —
+    # wait one interval so the final jobs' GC is included
+    time.sleep(11)
+    app_id = spark.sparkContext.applicationId
+
+    def get(path: str):
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}{path}", timeout=10
+        ) as r:
+            return json.load(r)
+
+    try:
+        stages = get("/stages?status=complete")
+        execs = get("/executors")
+    except Exception:
+        return None
+    return {
+        "shuffle_read_mb": round(
+            sum(s.get("shuffleReadBytes", 0) for s in stages) / 1e6, 1
+        ),
+        "shuffle_write_mb": round(
+            sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6, 1
+        ),
+        "executor_run_time_ms": sum(
+            s.get("executorRunTime", 0) for s in stages
+        ),
+        # local[] mode has no separate executors — the driver IS the
+        # executor, so fall back to it when nothing else reports
+        "gc_time_ms": (
+            sum(e.get("totalGCTime", 0) for e in execs
+                if e.get("id") != "driver")
+            or sum(e.get("totalGCTime", 0) for e in execs)
+        ),
+        "n_executors": sum(
+            1 for e in execs if e.get("id") != "driver"
+        ),
+    }
+
+
+def emit(timings: dict, n_turns: int, cpus: int,
+         profile: dict | None = None) -> None:
     out = {
         "metric": "parse->enrich->route->aggregate pipeline wall time",
         "value": timings["pipeline"],
@@ -455,6 +555,8 @@ def emit(timings: dict, n_turns: int, cpus: int) -> None:
         "loadavg_start": [round(x, 2) for x in _LOAD_START],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
+    if profile:
+        out["profile"] = profile
     print(json.dumps(out))
 
 

@@ -86,7 +86,13 @@ def main() -> None:
             r_hi.get("loadavg_start"), r_hi.get("loadavg_end")
         ],
     }
-    fname = {
+    # SPARK_GRAFT_PROFILE=1: per-leg whole-app shuffle read/write + GC
+    # totals (bench.py:_capture_profile) — the data a skeptic of the
+    # memory-bandwidth diagnosis would ask for
+    if r_lo.get("profile") or r_hi.get("profile"):
+        out["profile_low"] = r_lo.get("profile")
+        out["profile_high"] = r_hi.get("profile")
+    fname = os.environ.get("SCALE_OUT") or {
         "chain": "SCALING_CHAIN.json", "dedup": "SCALING_DEDUP.json",
         "approx": "SCALING_APPROX.json"
     }.get(os.environ.get("SCALE_TARGET"), "SCALING.json")

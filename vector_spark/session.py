@@ -43,7 +43,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test noise); SPARK_GRAFT_PROFILE=1 turns
+        # it on so bench.py can read per-run shuffle/GC totals from the
+        # status REST API (the scaling evidence's profile capture)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+            else "false",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     if master.startswith("local-cluster"):
