@@ -213,3 +213,49 @@ def test_topk_per_group_no_full_group_window(spark):
     # survivor set is rank-limited before the shuffle
     assert plan.count("Window [") == 3, plan.count("Window [")
     assert "WindowGroupLimit" in plan
+
+
+def test_bloom_probe_is_broadcast_no_fact_shuffle(spark):
+    """Bloom membership (operators/probabilistic.py): the fact side
+    must never shuffle — the distinct-key verdict broadcasts back, and
+    the bit table joins broadcast.  A SortMergeJoin against the probe
+    frame would shuffle the 100 TB side."""
+    from vector_spark.operators.probabilistic import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    t = transcripts_table(spark, 6000)
+    keys = t.filter(F.col("role") == "tool").select("conv_id").distinct()
+    bits = bloom_build(keys, "conv_id", m_bits=1024, k=3)
+    out = bloom_contains(t, bits, "conv_id", m_bits=1024, k=3)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cuckoo_windows_partition_by_bucket(spark):
+    """Cuckoo placement ranks within buckets — the window exchanges
+    must partition on the bucket columns, never SinglePartition (a
+    global sort of the key set is the thing two-choice hashing
+    avoids)."""
+    from vector_spark.operators.probabilistic import cuckoo_build
+
+    t = transcripts_table(spark, 6000)
+    table = cuckoo_build(t, "conv_id", n_buckets=64, bucket_size=4)
+    plan = _plan(table)
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_e2e_no_cartesian_no_global_window(spark):
+    """The composed curation chain keeps every stage's bounded shape:
+    no cross join anywhere (LSH buckets, broadcast benchmark) and no
+    single-partition exchange (the quota prefix sum stays bucketed)."""
+    from vector_spark.queries_datapipe import q_doc_curation_e2e
+
+    df = q_doc_curation_e2e(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
