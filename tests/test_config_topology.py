@@ -402,3 +402,45 @@ def test_vrl_decoder_on_framed_file_source(spark, tmp_path):
     res = build_topology(spark, topo)
     got = sorted((r["etype"], r["n"]) for r in res["in"].collect())
     assert got == [("a", 1), ("b", 2)]
+
+
+def test_file_sink_encodings(spark, outdir):
+    """`type: file` sink renders events through the encoding stack
+    (lib/codecs/src/encoding/format/): logfmt lines re-parse to the
+    original fields; syslog lines carry the configured field roles."""
+    cfg = dict(BASE)
+    cfg["sinks"] = {
+        "lf": {"type": "file", "inputs": ["error_agg"],
+               "path": f"{OUT}/lf", "encoding": {"codec": "logfmt"}},
+        "sl": {"type": "file", "inputs": ["routed.errors"],
+               "path": f"{OUT}/sl",
+               "encoding": {"codec": "syslog", "message_field": "msg",
+                            "severity": "level", "app_name": "service",
+                            "timestamp_field": "ts"}},
+        "tx": {"type": "file", "inputs": ["routed.errors"],
+               "path": f"{OUT}/tx",
+               "encoding": {"codec": "text", "message_field": "msg"}},
+    }
+    counts = run_topology(spark, cfg)
+    res = build_topology(spark, BASE)
+    n_err = res["routed"]["errors"].count()
+    assert counts["sl"] == n_err and counts["tx"] == n_err
+    assert counts["lf"] == res["error_agg"].count() > 0
+
+    from vector_spark.functions.vrl import parse_logfmt, parse_syslog_5424
+
+    lf = spark.read.text(f"{OUT}/lf")
+    back = lf.select(parse_logfmt(F.col("value")).alias("m"))
+    [r] = back.limit(1).collect()
+    assert {"role", "n"} <= set(r["m"].keys())
+
+    sl = spark.read.text(f"{OUT}/sl")
+    p = sl.select(parse_syslog_5424(F.col("value")).alias("p"))
+    assert p.filter(F.col("p").isNull()).count() == 0
+    # level='error' rows carry severity err(3); app is the service field
+    sev = p.select("p.severity").distinct().collect()
+    assert {row[0] for row in sev} <= {3, 6}  # http_status-routed rows keep default
+
+    tx = spark.read.text(f"{OUT}/tx")
+    # apache-routed rows have no msg → empty payload lines (text.rs)
+    assert tx.filter(F.col("value") != "").count() > 0

@@ -599,3 +599,117 @@ def test_semantic_meaning_registry(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not defined"):
         vrl.semantic_col("nope", registry=reg)
+
+
+# ---------------------------------------------------------------------------
+# syslog / GELF encoders (encoding/format/syslog.rs, gelf.rs)
+
+
+def _ts(spark, s):
+    return F.to_timestamp(F.lit(s))
+
+
+def test_encode_syslog_5424_exact(spark):
+    line = _one(spark, vrl.encode_syslog(
+        F.lit("hi there"),
+        facility=F.lit("local4"), severity=F.lit("warn"),
+        app_name=F.lit("myapp"), proc_id=F.lit("42"), msg_id=F.lit("ID7"),
+        hostname=F.lit("host1"), timestamp=_ts(spark, "2025-08-28 12:34:56.789"),
+        structured_data=F.create_map(
+            F.lit("ex@mple"), F.create_map(
+                F.lit("k"), F.lit('va"l\\x'), F.lit("a"), F.lit("1"),
+            ),
+        ),
+    ))
+    # local4=20, warn→4 (strum alias) → PRI 164; SD params sorted;
+    # value escaping: backslash then quote
+    assert line == ('<164>1 2025-08-28T12:34:56.789000Z host1 myapp 42 ID7 '
+                    '[ex@mple a="1" k="va\\"l\\\\x"] hi there')
+
+
+def test_encode_syslog_5424_nils_and_empty_message(spark):
+    line = _one(spark, vrl.encode_syslog(
+        F.lit(""), timestamp=_ts(spark, "2025-08-28 00:00:00"),
+    ))
+    # defaults user(1)/informational(6) → PRI 14; app default "vector";
+    # NIL hostname/procid/msgid/SD; empty message → NO trailing space
+    assert line == "<14>1 2025-08-28T00:00:00.000000Z - vector - - -"
+
+
+def test_encode_syslog_5424_truncation(spark):
+    line = _one(spark, vrl.encode_syslog(
+        F.lit("m"), app_name=F.lit("x" * 60), msg_id=F.lit("y" * 40),
+        timestamp=_ts(spark, "2025-08-28 00:00:00"),
+    ))
+    parts = line.split(" ")
+    # <pri>1 TS HOST APP PROCID MSGID SD msg — hostname is NIL here
+    assert parts[3] == "x" * 48   # app truncated to 48 chars
+    assert parts[5] == "y" * 32   # msgid truncated to 32 chars
+
+
+def test_encode_syslog_3164_exact(spark):
+    line = _one(spark, vrl.encode_syslog(
+        F.lit("boot éok"), rfc="rfc3164",
+        facility=F.lit(9), severity=F.lit("err"),
+        app_name=F.lit("appé"), proc_id=F.lit("7"),
+        hostname=F.lit("h2"), timestamp=_ts(spark, "2025-09-05 01:02:03"),
+    ))
+    # cron(9)*8+err(3)=75; %e day is space-padded; non-ASCII → '_' in
+    # the tag, ' ' in the message (sanitize_rfc3164_message)
+    assert line == "<75>Sep  5 01:02:03 h2 app_[7]: boot  ok"
+
+
+def test_encode_syslog_3164_tag_truncation(spark):
+    line = _one(spark, vrl.encode_syslog(
+        F.lit("m"), rfc="rfc3164", app_name=F.lit("a" * 40),
+        timestamp=_ts(spark, "2025-09-05 01:02:03"),
+    ))
+    # "Sep  5" double space splits into an empty part; tag is index 5
+    tag = line.split(" ")[5]
+    assert len(tag) == 32 and tag.endswith(":") and tag[:31] == "a" * 31
+
+
+def test_encode_syslog_code_fallbacks(spark):
+    # unknown name → defaults; numeric codes pass through; out-of-range
+    # numeric → default
+    for fac, sev, pri in [("nope", "nope", 14), (23, 0, 184), (99, 9, 14)]:
+        line = _one(spark, vrl.encode_syslog(
+            F.lit("m"), facility=F.lit(fac), severity=F.lit(sev),
+            timestamp=_ts(spark, "2025-08-28 00:00:00"),
+        ))
+        assert line.startswith(f"<{pri}>"), (fac, sev, line)
+
+
+def test_encode_gelf_exact_and_timestamp_branches(spark):
+    import json
+
+    g = _one(spark, vrl.encode_gelf(
+        F.lit("host1"), F.lit('hi "there"'),
+        timestamp=_ts(spark, "2025-08-28 12:34:56.789"),
+        level=F.lit(4), full_message=F.lit("long"),
+        additional={"conv.id": F.lit("c-1"), "_n": F.lit(3)},
+    ))
+    # sorted keys, '_' prefix prepended, float timestamp branch
+    assert g == ('{"_conv.id":"c-1","_n":3,"full_message":"long",'
+                 '"host":"host1","level":4,"short_message":"hi \\"there\\"",'
+                 '"timestamp":1756384496.789,"version":"1.1"}')
+    g2 = json.loads(_one(spark, vrl.encode_gelf(
+        F.lit("h"), F.lit("m"), timestamp=_ts(spark, "2025-08-28 00:00:05"),
+    )))
+    # whole-second → integer timestamp (gelf.rs int-vs-float branch)
+    assert g2["timestamp"] == 1756339205 and isinstance(g2["timestamp"], int)
+
+
+def test_encode_gelf_errors(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid GELF"):
+        vrl.encode_gelf(F.lit("h"), F.lit("m"), additional={"bad name": F.lit(1)})
+    # NULL host → NULL line (serializer error convention)
+    assert _one(spark, vrl.encode_gelf(
+        F.lit(None).cast("string"), F.lit("m"))) is None
+    # non-integer level → field dropped, line still valid
+    import json
+    g = json.loads(_one(spark, vrl.encode_gelf(
+        F.lit("h"), F.lit("m"), level=F.lit("warn"))))
+    assert "level" not in g and g["version"] == "1.1"

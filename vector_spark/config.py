@@ -21,7 +21,9 @@ transforms: remap(parse) | remap_exprs | filter | route | exclusive_route | samp
             incremental_to_absolute | tag_cardinality_limit |
             sessionize | lineage
 enrichment_tables: csv | memory | static | geoip/mmdb (range table)
-sinks:      parquet | csv | json | console | blackhole
+sinks:      parquet | csv | json | console | blackhole | avro
+            | file (line-encoded via encoding.codec: text/raw_message/
+              json/logfmt/csv/syslog/gelf/cef)
 """
 
 from __future__ import annotations
@@ -478,6 +480,19 @@ def run_topology(spark: SparkSession, config: dict) -> dict[str, int]:
                 write_avro(df, cfg["path"], cfg["schema"],
                            codec=cfg.get("codec", "deflate"))
                 counts[name] = read_avro(spark, cfg["path"]).count()
+            elif typ == "file":
+                # line-encoded file sink: encoding.codec picks the
+                # serializer (text/raw_message/json/logfmt/csv/syslog/
+                # gelf/cef — lib/codecs/src/encoding/format/)
+                from vector_spark.sources.sinks import render_encoded
+
+                enc = dict(cfg.get("encoding") or {})
+                codec = enc.pop("codec", "text")
+                lines = render_encoded(df, codec, enc)
+                lines.write.mode(cfg.get("mode", "overwrite")).text(
+                    cfg["path"]
+                )
+                counts[name] = spark.read.text(cfg["path"]).count()
             else:
                 write_sink(df, cfg["path"], fmt=typ, mode=cfg.get("mode", "overwrite"))
                 counts[name] = spark.read.format(typ).load(cfg["path"]).count()

@@ -368,6 +368,279 @@ def encode_cef(
     )
 
 
+# ---------------------------------------------------------------------------
+# syslog / GELF encoders (encoding/format/syslog.rs, gelf.rs)
+
+#: kebab-case facility names → codes
+#: (/root/reference/lib/codecs/src/encoding/format/syslog.rs:533-584)
+SYSLOG_FACILITIES = {
+    "kern": 0, "user": 1, "mail": 2, "daemon": 3, "auth": 4, "syslog": 5,
+    "lpr": 6, "news": 7, "uucp": 8, "cron": 9, "authpriv": 10, "ftp": 11,
+    "ntp": 12, "security": 13, "console": 14, "solaris-cron": 15,
+    "local0": 16, "local1": 17, "local2": 18, "local3": 19, "local4": 20,
+    "local5": 21, "local6": 22, "local7": 23,
+}
+
+#: severity names incl. strum aliases (syslog.rs:587-612)
+SYSLOG_SEVERITIES = {
+    "emergency": 0, "emerg": 0, "panic": 0, "alert": 1, "critical": 2,
+    "crit": 2, "error": 3, "err": 3, "warning": 4, "warn": 4, "notice": 5,
+    "informational": 6, "info": 6, "debug": 7,
+}
+
+
+def _syslog_code(col: Column | None, table: dict[str, int], default: int) -> Column:
+    """Resolve a facility/severity column to its numeric code the way
+    the reference's get_syslog_code does (syslog.rs:199-221): a name
+    (case-insensitive) wins, else an in-range integer code, else the
+    default (user / informational)."""
+    if col is None:
+        return F.lit(default)
+    pairs: list[Column] = []
+    for k, v in table.items():
+        pairs += [F.lit(k), F.lit(v)]
+    by_name = F.element_at(F.create_map(*pairs), F.lower(col.cast("string")))
+    code = col.try_cast("int")
+    in_range = code.isNotNull() & (code >= 0) & (code < max(table.values()) + 1)
+    return F.coalesce(by_name, F.when(in_range, code), F.lit(default))
+
+
+def _ascii_printable(c: Column, repl: str) -> Column:
+    # RFC3164 sanitizers (syslog.rs:247-254): chars outside ' '..'~'
+    return F.regexp_replace(c, r"[^ -~]", repl)
+
+
+def _sd_name(c: Column) -> Column:
+    # RFC5424 SD-ID / PARAM-NAME: printable ASCII 33-126 minus = ] "
+    # (syslog.rs:257-264), invalid → '_'
+    return F.regexp_replace(c, r"[^!-~]|[=\]\"]", "_")
+
+
+def _sd_value(c: Column) -> Column:
+    # escape_sd_value (syslog.rs:267-287): backslash first, then " and ]
+    out = F.regexp_replace(c, r"\\", r"\\\\")
+    out = F.regexp_replace(out, "\"", "\\\\\"")
+    return F.regexp_replace(out, r"\]", r"\\]")
+
+
+def _nil(c: Column | None, trunc: int | None = None) -> Column:
+    if c is None:
+        return F.lit("-")
+    s = c.cast("string")
+    if trunc:
+        s = F.substring(s, 1, trunc)
+    return F.coalesce(s, F.lit("-"))
+
+
+def encode_syslog(
+    message: Column,
+    *,
+    rfc: str = "rfc5424",
+    facility: Column | None = None,
+    severity: Column | None = None,
+    app_name: Column | None = None,
+    proc_id: Column | None = None,
+    msg_id: Column | None = None,
+    hostname: Column | None = None,
+    timestamp: Column | None = None,
+    structured_data: Column | None = None,
+) -> Column:
+    """Syslog encoder
+    (/root/reference/lib/codecs/src/encoding/format/syslog.rs).
+
+    rfc5424: ``<PRI>1 TIMESTAMP HOSTNAME APP PROCID MSGID SD [MSG]``
+    with RFC3339 micros timestamps, NIL ``-`` for absent fields,
+    char-limit truncation (app 48 / procid 128 / msgid 32,
+    syslog.rs:128-137), and structured data rendered from a
+    ``map<string, map<string,string>>`` column sorted by SD-ID with
+    RFC5424 name sanitization + value escaping.
+
+    rfc3164: ``<PRI>MMM dd HH:mm:ss HOSTNAME TAG[PID]: [MSG]`` with
+    ASCII-printable sanitization of tag and message and the 32-char
+    tag truncation that re-pins the trailing colon
+    (syslog.rs:399-412); structured data is ignored.
+
+    facility/severity accept a name (case-insensitive, incl. strum
+    aliases) or a numeric code; unknown values fall back to
+    user / informational like the reference.  A missing timestamp is
+    encode-time ``now()`` (syslog.rs:172-177)."""
+    fac = _syslog_code(facility, SYSLOG_FACILITIES, 1)
+    sev = _syslog_code(severity, SYSLOG_SEVERITIES, 6)
+    pri = F.concat(F.lit("<"), (fac * 8 + sev).cast("string"), F.lit(">"))
+    ts = timestamp if timestamp is not None else F.current_timestamp()
+    host = _nil(hostname)
+    msg = F.coalesce(message.cast("string"), F.lit(""))
+    app = app_name.cast("string") if app_name is not None else F.lit("vector")
+    app = F.coalesce(app, F.lit("vector"))
+
+    if rfc == "rfc3164":
+        app3 = _ascii_printable(app, "_")
+        stamp = F.concat(
+            F.date_format(ts, "MMM "),
+            F.lpad(F.dayofmonth(ts).cast("string"), 2, " "),
+            F.date_format(ts, " HH:mm:ss"),
+        )
+        if proc_id is not None:
+            pid = _ascii_printable(proc_id.cast("string"), "_")
+            tag = F.when(
+                pid.isNotNull(),
+                F.concat(app3, F.lit("["), pid, F.lit("]:")),
+            ).otherwise(F.concat(app3, F.lit(":")))
+        else:
+            tag = F.concat(app3, F.lit(":"))
+        tag = F.when(
+            F.length(tag) > 32,
+            F.concat(F.substring(tag, 1, 31), F.lit(":")),
+        ).otherwise(tag)
+        body = F.when(msg != "", _ascii_printable(msg, " ")).otherwise(F.lit(""))
+        return F.concat(pri, stamp, F.lit(" "), host, F.lit(" "), tag,
+                        F.lit(" "), body)
+
+    if rfc != "rfc5424":
+        raise ValueError(f"unknown syslog rfc {rfc!r}")
+    fmt5424 = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+    # a NULL timestamp value falls back to encode-time now(), the
+    # get_timestamp behavior (syslog.rs:172-177)
+    stamp = F.coalesce(
+        F.date_format(ts, fmt5424),
+        F.date_format(F.current_timestamp(), fmt5424),
+    )
+    if structured_data is not None:
+        # sort SD-IDs (a struct holding a map is not orderable, so sort
+        # the key array and look values back up) — BTreeMap order
+        elems = F.transform(
+            F.array_sort(F.map_keys(structured_data)),
+            lambda k: F.concat(
+                F.lit("["),
+                F.substring(_sd_name(k), 1, 32),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.map_entries(F.element_at(structured_data, k))
+                        ),
+                        lambda p: F.concat(
+                            F.lit(" "), _sd_name(p.getField("key")),
+                            F.lit("=\""), _sd_value(p.getField("value")),
+                            F.lit("\""),
+                        ),
+                    ),
+                ),
+                F.lit("]"),
+            ),
+        )
+        sd = F.when(
+            structured_data.isNotNull() & (F.size(structured_data) > 0),
+            F.concat_ws("", elems),
+        ).otherwise(F.lit("-"))
+    else:
+        sd = F.lit("-")
+    head = F.concat_ws(
+        " ", F.concat(pri, F.lit("1")), stamp, host,
+        _nil(app, 48), _nil(proc_id, 128), _nil(msg_id, 32), sd,
+    )
+    return F.when(msg != "", F.concat(head, F.lit(" "), msg)).otherwise(head)
+
+
+#: GELF spec version the encoder stamps (lib/codecs/src/gelf.rs)
+GELF_VERSION = "1.1"
+
+#: valid additional-field names: word chars, dots, dashes, '@'
+#: (lib/codecs/src/gelf.rs:75-76)
+_GELF_FIELD_RE = r"^[\w\.\-@]*$"
+
+
+def _json_scalar(c: Column) -> Column:
+    """Render one column as its JSON value (correct escaping/typing for
+    any Spark type) by unwrapping a single-field to_json: strip the
+    fixed 5-char ``{"v":`` prefix and the closing brace."""
+    j = F.to_json(F.struct(c.alias("v")))
+    return F.substring(j, 6, F.length(j) - 6)
+
+
+def encode_gelf(
+    host: Column,
+    short_message: Column,
+    *,
+    timestamp: Column | None = None,
+    level: Column | None = None,
+    facility: Column | None = None,
+    line: Column | None = None,
+    file: Column | None = None,
+    full_message: Column | None = None,
+    additional: dict[str, Column] | None = None,
+) -> Column:
+    """GELF encoder
+    (/root/reference/lib/codecs/src/encoding/format/gelf.rs):
+    renders the event as a GELF 1.1 JSON line.
+
+    - ``version``/``host``/``short_message`` are required; a NULL host
+      or short_message makes the result NULL (the serializer error
+      under the repo's NULL-on-invalid convention).
+    - a Timestamp column becomes the GELF numeric timestamp: integer
+      seconds when the millis are whole seconds, else
+      ``seconds.millis`` with trailing zeros trimmed — the encoder's
+      int-vs-float branch (gelf.rs:205-221).
+    - additional fields are validated against the reference's
+      field-name pattern and get the ``_`` prefix prepended when
+      missing (gelf.rs:233-252) — both at driver time, since batch
+      column names are static.
+    - keys serialize in sorted order (the reference's event map is a
+      BTreeMap)."""
+    frags: dict[str, Column] = {
+        "version": _json_scalar(F.lit(GELF_VERSION)),
+        "host": _json_scalar(host.cast("string")),
+        "short_message": _json_scalar(short_message.cast("string")),
+    }
+    if timestamp is not None:
+        millis = F.round(timestamp.cast("double") * 1000).cast("long")
+        frac = F.regexp_replace(
+            F.lpad(F.pmod(millis, F.lit(1000)).cast("string"), 3, "0"),
+            "0+$", "",
+        )
+        secs = F.floor(millis / 1000).cast("long").cast("string")
+        frags["timestamp"] = F.when(
+            F.pmod(millis, F.lit(1000)) == 0, secs
+        ).otherwise(F.concat(secs, F.lit("."), frac))
+    if level is not None:
+        # the reference errors on non-integer levels; NULL (dropped
+        # field) is the Column rendering of that error
+        frags["level"] = _json_scalar(level.try_cast("int"))
+    if facility is not None:
+        frags["facility"] = _json_scalar(facility.cast("string"))
+    if line is not None:
+        frags["line"] = _json_scalar(line)
+    if file is not None:
+        frags["file"] = _json_scalar(file.cast("string"))
+    if full_message is not None:
+        frags["full_message"] = _json_scalar(full_message.cast("string"))
+    import re as _re
+
+    for name, col in (additional or {}).items():
+        if not _re.match(_GELF_FIELD_RE, name):
+            raise ValueError(
+                f"invalid GELF additional field name {name!r} "
+                f"(must match {_GELF_FIELD_RE})"
+            )
+        frags["_" + name if not name.startswith("_") else name] = (
+            _json_scalar(col)
+        )
+    # a NULL value yields an empty fragment (to_json omits null struct
+    # fields) — drop the field, the JSON rendering of "absent"
+    parts = [
+        F.when(
+            frags[k].isNotNull() & (frags[k] != ""),
+            F.concat(F.lit(f'"{k}":'), frags[k]),
+        )
+        for k in sorted(frags)
+    ]
+    body = F.array_join(F.filter(F.array(*parts), lambda p: p.isNotNull()), ",")
+    return F.when(
+        host.isNotNull() & short_message.isNotNull(),
+        F.concat(F.lit("{"), body, F.lit("}")),
+    )
+
+
 #: AWS VPC flow log v2 default format (14 space-separated fields)
 VPC_FLOW_SCHEMA = (
     "version int, account_id string, interface_id string, srcaddr string, "

@@ -1093,6 +1093,119 @@ def q_vpc_flow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "syslog_encode_roundtrip",
+    parsed_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx,
+       CAST(19 AS INTEGER) AS fac,
+       CAST(CASE level WHEN 'info' THEN 6 WHEN 'warn' THEN 4
+                       WHEN 'error' THEN 3 ELSE 7 END AS INTEGER) AS sev,
+       concat('h-', conv_id) AS hostname,
+       service AS appname,
+       turn_idx AS procid,
+       'ID47' AS msgid,
+       ts AS sts,
+       concat('[lat@1 ms="', CAST(latency_ms AS VARCHAR), '"]') AS sd,
+       msg AS message
+FROM parsed WHERE format = 'json'""",
+)
+def q_syslog_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syslog BOTH directions (encoding/format/syslog.rs +
+    parse_syslog_5424): json turns ENCODE as RFC5424 lines — name
+    facility/severity resolution ('local3'/level aliases incl. 'warn'),
+    NIL handling, structured-data rendering — then parse back.  The
+    oracle recovers every field directly, so PRI arithmetic, timestamp
+    micros rendering, and SD quoting must cancel exactly."""
+    from vector_spark.functions.parse import parse_transcripts
+    from vector_spark.functions.vrl import encode_syslog, parse_syslog_5424
+
+    df = parse_transcripts(load_transcripts(spark, sf_dir)).filter(
+        F.col("format") == "json"
+    )
+    line = encode_syslog(
+        F.col("parsed.msg"),
+        facility=F.lit("local3"),
+        severity=F.col("parsed.level"),
+        app_name=F.col("parsed.service"),
+        proc_id=F.col("turn_idx").cast("string"),
+        msg_id=F.lit("ID47"),
+        hostname=F.concat(F.lit("h-"), F.col("conv_id")),
+        timestamp=F.col("ts"),
+        structured_data=F.create_map(
+            F.lit("lat@1"),
+            F.create_map(F.lit("ms"), F.col("parsed.latency_ms").cast("string")),
+        ),
+    )
+    p = parse_syslog_5424(line)
+    return df.select(
+        "conv_id", "turn_idx",
+        p.getField("facility").alias("fac"),
+        p.getField("severity").cast("int").alias("sev"),
+        p.getField("hostname").alias("hostname"),
+        p.getField("appname").alias("appname"),
+        p.getField("procid").alias("procid"),
+        p.getField("msgid").alias("msgid"),
+        p.getField("timestamp").alias("sts"),
+        p.getField("structured_data").alias("sd"),
+        p.getField("message").alias("message"),
+    )
+
+
+@register(
+    "gelf_encode_roundtrip",
+    parsed_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx,
+       '1.1' AS version,
+       concat('h-', conv_id) AS host,
+       msg AS short_message,
+       CAST(epoch(ts) AS DOUBLE) AS ts_num,
+       CAST(CASE level WHEN 'info' THEN 6 WHEN 'warn' THEN 4
+                       WHEN 'error' THEN 3 ELSE 7 END AS INTEGER) AS lvl,
+       service AS svc,
+       latency_ms AS lat
+FROM parsed WHERE format = 'json'""",
+)
+def q_gelf_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GELF encoder (encoding/format/gelf.rs) exercised end-to-end:
+    json turns render as GELF 1.1 lines — required-field stamping,
+    numeric-timestamp branch, underscore-prefixed additional fields,
+    sorted keys — then from_json recovers the typed fields the oracle
+    re-derives directly."""
+    from vector_spark.functions.parse import parse_transcripts
+    from vector_spark.functions.vrl import encode_gelf, to_syslog_severity
+
+    df = parse_transcripts(load_transcripts(spark, sf_dir)).filter(
+        F.col("format") == "json"
+    )
+    line = encode_gelf(
+        F.concat(F.lit("h-"), F.col("conv_id")),
+        F.col("parsed.msg"),
+        timestamp=F.col("ts"),
+        level=to_syslog_severity(F.col("parsed.level")),
+        additional={
+            "service": F.col("parsed.service"),
+            "latency_ms": F.col("parsed.latency_ms"),
+        },
+    )
+    g = F.from_json(
+        line,
+        "version string, host string, short_message string, "
+        "timestamp double, level int, _service string, _latency_ms long",
+    )
+    return df.select(
+        "conv_id", "turn_idx",
+        g.getField("version").alias("version"),
+        g.getField("host").alias("host"),
+        g.getField("short_message").alias("short_message"),
+        g.getField("timestamp").alias("ts_num"),
+        g.getField("level").alias("lvl"),
+        g.getField("_service").alias("svc"),
+        g.getField("_latency_ms").alias("lat"),
+    )
+
+
+@register(
     "scale_chain_rows",
     f"""
 WITH seq AS (SELECT range AS id FROM range({N_ORACLE})),

@@ -92,6 +92,108 @@ def fan_out_write(
     return counts
 
 
+def render_encoded(
+    df: DataFrame, codec: str, options: dict | None = None
+) -> DataFrame:
+    """Sink-side line encoding: render each event as ONE string row
+    named ``value`` — the Spark shape of the reference's per-sink
+    encoder stack (lib/codecs/src/encoding/format/: text, raw_message,
+    json, logfmt, csv, syslog, gelf, cef).  All JVM column expressions
+    (no UDF); the ``arrow`` / ``parquet`` encoder formats map to
+    Spark's native writers in :func:`write_sink` instead.
+
+    ``options`` carries the per-codec field mappings the reference
+    takes as encoder config: a field NAME per role (the batch
+    rendering of its ConfigTargetPath options)."""
+    from pyspark.sql import functions as F
+
+    opts = options or {}
+
+    def _field(role: str, *defaults: str) -> str | None:
+        name = opts.get(role)
+        if name:
+            return name
+        return next((d for d in defaults if d in df.columns), None)
+
+    def _col(role: str, *defaults: str):
+        name = _field(role, *defaults)
+        return F.col(name) if name else None
+
+    if codec in ("text", "raw_message"):
+        # text.rs / raw_message.rs: the message key, coerced to bytes;
+        # a missing message writes an empty payload
+        msg = _col("message_field", "message", "text", "value")
+        if msg is None:
+            raise ValueError(f"{codec} encoding needs a message field")
+        line = F.coalesce(msg.cast("string"), F.lit(""))
+    elif codec == "json":
+        line = F.to_json(F.struct(*df.columns))
+    elif codec == "logfmt":
+        from vector_spark.functions.vrl import encode_logfmt
+
+        pairs = []
+        for c in df.columns:
+            pairs += [F.lit(c), F.col(c).cast("string")]
+        line = encode_logfmt(F.create_map(*pairs))
+    elif codec == "csv":
+        from vector_spark.functions.vrl import encode_csv
+
+        fields = opts.get("fields") or df.columns
+        line = encode_csv(F.struct(*df.columns), fields)
+    elif codec == "syslog":
+        from vector_spark.functions.vrl import encode_syslog
+
+        msg = _col("message_field", "message", "text", "value")
+        if msg is None:
+            raise ValueError("syslog encoding needs a message field")
+        line = encode_syslog(
+            msg,
+            rfc=opts.get("rfc", "rfc5424"),
+            facility=_col("facility"),
+            severity=_col("severity"),
+            app_name=_col("app_name", "appname", "service"),
+            proc_id=_col("proc_id", "procid"),
+            msg_id=_col("msg_id", "msgid"),
+            hostname=_col("host_field", "hostname", "host"),
+            timestamp=_col("timestamp_field", "timestamp", "ts"),
+            structured_data=_col("structured_data_field"),
+        )
+    elif codec == "gelf":
+        from vector_spark.functions.vrl import encode_gelf
+
+        host_f = _field("host_field", "host", "hostname")
+        msg_f = _field("message_field", "short_message", "message", "text")
+        if host_f is None or msg_f is None:
+            raise ValueError("gelf encoding needs host and message fields")
+        ts_f = _field("timestamp_field", "timestamp", "ts")
+        lvl_f = _field("level_field", "level")
+        used = {host_f, msg_f, ts_f, lvl_f}
+        line = encode_gelf(
+            F.col(host_f),
+            F.col(msg_f),
+            timestamp=F.col(ts_f) if ts_f else None,
+            level=F.col(lvl_f) if lvl_f else None,
+            additional={c: F.col(c) for c in df.columns if c not in used},
+        )
+    elif codec == "cef":
+        from vector_spark.functions.vrl import encode_cef
+
+        name_f = _field("name_field", "name", "message", "text")
+        sev_f = _field("severity_field", "severity", "level")
+        if name_f is None or sev_f is None:
+            raise ValueError("cef encoding needs name and severity fields")
+        line = encode_cef(
+            F.col(name_f),
+            F.col(sev_f),
+            extensions={
+                c: F.col(c) for c in df.columns if c not in (name_f, sev_f)
+            },
+        )
+    else:
+        raise ValueError(f"unknown sink encoding codec {codec!r}")
+    return df.select(line.alias("value"))
+
+
 def blackhole(df: DataFrame) -> int:
     """The blackhole sink (consume + count, write nothing)."""
     return df.count()
