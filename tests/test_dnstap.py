@@ -1,0 +1,169 @@
+"""parse_dnstap (lib/vector-vrl/dnstap-parser + lib/dnsmsg-parser):
+envelope fields, DNS wire decoding, rdata formats, error channels."""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.functions.dnstap import (
+    RCODE_NAMES,
+    decode_dns_message,
+    decode_dnstap_frame,
+    encode_dns_query,
+    encode_dnstap_frame,
+    encode_name,
+    parse_dnstap,
+)
+
+
+def _rr(name_bytes, rtype, rclass, ttl, rdata):
+    return name_bytes + struct.pack(">HHIH", rtype, rclass, ttl,
+                                    len(rdata)) + rdata
+
+
+def test_client_query_envelope():
+    wire = encode_dns_query(4242, "API.svc.Example.com", 1)
+    frame = encode_dnstap_frame(
+        message_type=5, query_message=wire,
+        query_address=socket.inet_aton("10.1.2.3"), query_port=53533,
+        query_time_sec=1767225600, query_time_nsec=123456789,
+        identity=b"ns1",
+    )
+    ev = decode_dnstap_frame(frame)
+    assert ev["serverId"] == "ns1"
+    assert ev["dataType"] == "Message" and ev["dataTypeId"] == 1
+    assert ev["messageType"] == "ClientQuery" and ev["messageTypeId"] == 5
+    assert ev["socketFamily"] == "INET" and ev["socketProtocol"] == "UDP"
+    assert ev["sourceAddress"] == "10.1.2.3" and ev["sourcePort"] == 53533
+    assert ev["time"] == 1767225600123456789
+    assert ev["timePrecision"] == "ns"
+    rd = ev["requestData"]
+    assert rd["header"]["id"] == 4242 and rd["header"]["rd"] is True
+    assert rd["question"][0]["domainName"] == "API.svc.Example.com."
+    assert rd["question"][0]["questionType"] == "A"
+    assert rd["rcodeName"] == "NoError"
+    assert ev["requestMessageSize"] == len(wire)
+    # lowercase_hostnames option (DnsParserOptions)
+    low = decode_dnstap_frame(frame, lowercase=True)
+    assert low["requestData"]["question"][0]["domainName"] == \
+        "api.svc.example.com."
+
+
+def test_response_records_compression_and_rdata_formats():
+    head = struct.pack(">HHHHHH", 7, 0x8583, 1, 3, 1, 1)
+    q = encode_name("example.com") + struct.pack(">HH", 255, 1)
+    ptr = b"\xc0\x0c"  # compression pointer to the question name
+    a = _rr(ptr, 1, 1, 300, bytes([93, 184, 216, 34]))
+    aaaa = _rr(ptr, 28, 1, 300,
+               socket.inet_pton(socket.AF_INET6, "2606:2800:21f::1"))
+    mx = _rr(ptr, 15, 1, 60, struct.pack(">H", 10) + encode_name("mail.example.com"))
+    soa_rdata = (encode_name("ns1.example.com") + encode_name("hostmaster.example.com")
+                 + struct.pack(">IIIII", 2026, 7200, 900, 1209600, 86400))
+    soa = _rr(ptr, 6, 1, 3600, soa_rdata)
+    srv = _rr(encode_name("_sip._tcp.example.com"), 33, 1, 60,
+              struct.pack(">HHH", 5, 10, 5060) + encode_name("sip.example.com"))
+    msg = decode_dns_message(head + q + a + aaaa + mx + soa + srv)
+    h = msg["header"]
+    # flags 0x8583: qr aa rd ra + rcode 3
+    assert h["qr"] == 1 and h["aa"] and h["rd"] and h["ra"]
+    assert h["rcode"] == 3 and msg["rcodeName"] == "NXDomain"
+    assert msg["question"][0]["questionType"] == "ANY"
+    ans = {r["recordType"]: r["rData"] for r in msg["answers"]}
+    assert ans["A"] == "93.184.216.34"
+    assert ans["AAAA"] == "2606:2800:21f::1"
+    assert ans["MX"] == "10 mail.example.com."
+    assert msg["authority"][0]["rData"] == (
+        "ns1.example.com. hostmaster.example.com. 2026 7200 900 "
+        "1209600 86400")
+    assert msg["additional"][0]["rData"] == "5 10 5060 sip.example.com."
+    assert msg["additional"][0]["domainName"] == "_sip._tcp.example.com."
+
+
+def test_txt_escaping_and_unknown_rtype_bytes():
+    head = struct.pack(">HHHHHH", 1, 0x8000, 0, 2, 0, 0)
+    txt = _rr(encode_name("t.x"), 16, 1, 1,
+              bytes([7]) + b'a"b\\c,d' + bytes([0]))
+    unk = _rr(encode_name("u.x"), 999, 1, 1, b"\x01\x02")
+    msg = decode_dns_message(head + txt + unk)
+    assert msg["answers"][0]["rData"] == '"a\\"b\\\\c,d" ""'
+    u = msg["answers"][1]
+    assert "recordType" not in u and u["recordTypeId"] == 999
+    assert u["rDataBytes"] == "AQI="  # base64 of 0x01 0x02
+
+
+def test_edns_opt_and_full_rcode():
+    head = struct.pack(">HHHHHH", 2, 0x8100, 0, 0, 0, 1)
+    opt = b"\x00" + struct.pack(">HHIH", 41, 1232, 0x01008000, 4) \
+        + struct.pack(">HH", 10, 0)  # COOKIE option, empty
+    msg = decode_dns_message(head + opt)
+    assert msg["opt"] == {
+        "extendedRcode": 1, "ednsVersion": 0, "do": True,
+        "udpPayloadSize": 1232,
+        "options": [{"optCode": 10, "optValue": ""}],
+    }
+    assert msg["fullRcode"] == 16 and msg["rcodeName"] == "BADVERS"
+    # OPT is a pseudo-record: kept out of additional, counted in arCount
+    assert msg["additional"] == [] and msg["header"]["arCount"] == 1
+
+
+def test_bad_dns_payload_keeps_envelope_with_error():
+    frame = encode_dnstap_frame(
+        message_type=5, query_message=b"\x00\x01trash",
+        query_address=socket.inet_aton("10.0.0.1"), query_port=1,
+    )
+    ev = decode_dnstap_frame(frame)
+    assert ev["messageType"] == "ClientQuery"
+    assert "error" in ev and "rawData" in ev
+    assert "requestData" not in ev
+
+
+def test_response_time_lands_in_absent_request_section():
+    # ClientResponse with only query_time set: the reference logs the
+    # time under the absent message's section (parser.rs:430-437)
+    wire = encode_dns_query(9, "a.b", 1)
+    frame = encode_dnstap_frame(
+        message_type=6, response_message=wire,
+        query_address=socket.inet_aton("10.0.0.1"), query_port=2,
+        query_time_sec=100, query_time_nsec=5,
+    )
+    ev = decode_dnstap_frame(frame)
+    assert "time" not in ev  # query time on a response type
+    assert ev["requestData"] == {"time": 100000000005,
+                                 "timePrecision": "ns"}
+    assert ev["responseData"]["header"]["id"] == 9
+
+
+def test_name_compression_loop_guard():
+    head = struct.pack(">HHHHHH", 3, 0, 1, 0, 0, 0)
+    evil = head + b"\xc0\x0c" + struct.pack(">HH", 1, 1)  # self-pointer
+    with pytest.raises(ValueError):
+        decode_dns_message(evil)
+
+
+def test_rcode_names_match_reference_table():
+    # dns_message_parser.rs:938-963
+    assert RCODE_NAMES[0] == "NoError" and RCODE_NAMES[3] == "NXDomain"
+    assert RCODE_NAMES[23] == "BADCOOKIE" and 15 not in RCODE_NAMES
+
+
+def test_parse_dnstap_spark_column(spark):
+    wire = encode_dns_query(77, "spark.example.com", 28)
+    good = encode_dnstap_frame(
+        message_type=3, query_message=wire,
+        query_address=socket.inet_aton("192.0.2.1"), query_port=4242,
+        query_time_sec=1767225600,
+    )
+    df = spark.createDataFrame(
+        [(good,), (b"not protobuf at all",), (None,)], "frame binary")
+    rows = df.select(parse_dnstap(F.col("frame")).alias("j")).collect()
+    ev = json.loads(rows[0]["j"])
+    assert ev["messageType"] == "ResolverQuery"
+    assert ev["requestData"]["question"][0]["domainName"] == \
+        "spark.example.com."
+    assert ev["requestData"]["question"][0]["questionType"] == "AAAA"
+    assert rows[1]["j"] is None and rows[2]["j"] is None

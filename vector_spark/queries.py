@@ -1206,6 +1206,83 @@ def q_gelf_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dnstap_roundtrip",
+    transcripts_cte(N_ORACLE)
+    + """
+SELECT conv_id, turn_idx,
+       CASE WHEN turn_idx % 2 = 0 THEN 'ClientQuery'
+            ELSE 'ClientResponse' END AS msg_type,
+       'INET' AS family, 'UDP' AS protocol,
+       concat('10.', CAST(turn_idx % 200 AS VARCHAR), '.0.7') AS src_addr,
+       CAST(1024 + turn_idx % 60000 AS INTEGER) AS src_port,
+       CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS time_ns,
+       CAST(turn_idx % 65536 AS INTEGER) AS qid,
+       concat(tool, '.', conv_id, '.example.com.') AS qname,
+       CASE role WHEN 'user' THEN 'A' WHEN 'assistant' THEN 'AAAA'
+                 WHEN 'tool' THEN 'TXT' ELSE 'MX' END AS qtype
+FROM transcripts""",
+)
+def q_dnstap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_dnstap under the full value-hash gate
+    (lib/vector-vrl/dnstap-parser/src/parser.rs + lib/dnsmsg-parser):
+    every turn becomes a dnstap protobuf frame carrying a DNS query
+    wire message (this repo's own protobuf encoder builds the
+    envelope), alternating ClientQuery / ClientResponse so BOTH the
+    requestData and responseData paths — and the reference's
+    absent-message time placement — are exercised.  The oracle
+    re-derives every field directly."""
+    from vector_spark.functions.dnstap import encode_dnstap, parse_dnstap
+
+    t = load_transcripts(spark, sf_dir)
+    frame = encode_dnstap(
+        F.pmod(F.col("turn_idx"), F.lit(65536)),
+        F.concat_ws(".", "tool", "conv_id", F.lit("example.com")),
+        F.when(F.col("role") == "user", 1)
+        .when(F.col("role") == "assistant", 28)
+        .when(F.col("role") == "tool", 16).otherwise(15),
+        F.concat(F.lit("10."),
+                 F.pmod(F.col("turn_idx"), F.lit(200)).cast("string"),
+                 F.lit(".0.7")),
+        F.lit(1024) + F.pmod(F.col("turn_idx"), F.lit(60000)),
+        F.unix_timestamp("ts"),
+        F.when(F.pmod(F.col("turn_idx"), F.lit(2)) == 0, 5).otherwise(6),
+    )
+    ev = F.from_json(
+        parse_dnstap(frame),
+        "messageType string, socketFamily string, socketProtocol string, "
+        "sourceAddress string, sourcePort int, time long, "
+        "requestData struct<time: long, header: struct<id: int>, "
+        "question: array<struct<domainName: string, questionType: string>>>, "
+        "responseData struct<header: struct<id: int>, "
+        "question: array<struct<domainName: string, questionType: string>>>",
+    )
+    q = F.coalesce(
+        ev.getField("requestData").getField("question"),
+        ev.getField("responseData").getField("question"),
+    ).getItem(0)
+    return t.select(
+        "conv_id", "turn_idx",
+        ev.getField("messageType").alias("msg_type"),
+        ev.getField("socketFamily").alias("family"),
+        ev.getField("socketProtocol").alias("protocol"),
+        ev.getField("sourceAddress").alias("src_addr"),
+        ev.getField("sourcePort").alias("src_port"),
+        # ClientQuery: top-level time; ClientResponse with only a query
+        # time: the reference parks it under the absent requestData
+        F.coalesce(
+            ev.getField("time"),
+            ev.getField("requestData").getField("time"),
+        ).alias("time_ns"),
+        F.coalesce(
+            ev.getField("requestData").getField("header").getField("id"),
+            ev.getField("responseData").getField("header").getField("id"),
+        ).alias("qid"),
+        q.getField("domainName").alias("qname"),
+        q.getField("questionType").alias("qtype"),
+    )
+
+
+@register(
     "scale_chain_rows",
     f"""
 WITH seq AS (SELECT range AS id FROM range({N_ORACLE})),
