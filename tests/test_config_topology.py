@@ -444,3 +444,49 @@ def test_file_sink_encodings(spark, outdir):
     tx = spark.read.text(f"{OUT}/tx")
     # apache-routed rows have no msg → empty payload lines (text.rs)
     assert tx.filter(F.col("value") != "").count() > 0
+
+
+def test_character_delimited_file_source_in_config(spark, tmp_path):
+    """file source with framing: character_delimited
+    (framing/character_delimited.rs): custom delimiter, max_length
+    discards oversized frames entirely."""
+    src = tmp_path / "cd.txt"
+    src.write_text("one\x1ftwo is long\x1fthree\x1f")
+    cfg = {
+        "sources": {
+            "in": {
+                "type": "file", "path": str(src),
+                "framing": {"method": "character_delimited",
+                            "delimiter": "\x1f", "max_length": 5},
+            }
+        }
+    }
+    out = build_topology(spark, cfg)["in"]
+    assert sorted(r["value"] for r in out.collect()) == ["one", "three"]
+
+
+def test_varint_length_delimited_file_source_in_config(spark, tmp_path):
+    """file source with framing: varint_length_delimited
+    (framing/varint_length_delimited.rs): varint prefixes incl. a
+    multi-byte one (>127-byte frame)."""
+    from vector_spark.sources.otlp import _write_varint
+
+    msgs = ["alpha", "x" * 200, "gamma"]
+    src = tmp_path / "vld.bin"
+    with open(src, "wb") as f:
+        for m in msgs:
+            b = m.encode()
+            f.write(_write_varint(len(b)) + b)
+    cfg = {
+        "sources": {
+            "in": {
+                "type": "file", "path": str(src),
+                "framing": {"method": "varint_length_delimited"},
+            }
+        }
+    }
+    out = build_topology(spark, cfg)["in"]
+    assert sorted(r["value"] for r in out.collect()) == sorted(msgs)
+    # FrameTooLarge invalidates the payload (framing error → no rows)
+    cfg["sources"]["in"]["framing"]["max_frame_length"] = 100
+    assert build_topology(spark, cfg)["in"].count() == 0

@@ -274,6 +274,77 @@ def test_length_delimited_roundtrip_any_bytes(spark, msgs):
     assert [bytes(b) for b in row["frames"]] == msgs
 
 
+@SET
+@given(msgs=st.lists(st.binary(max_size=40), min_size=1, max_size=12))
+def test_varint_length_delimited_roundtrip_any_bytes(spark, msgs):
+    from pyspark.sql import functions as F
+
+    from vector_spark.sources.readers import (
+        varint_length_delimited_encode,
+        varint_length_delimited_frames,
+    )
+
+    df = spark.createDataFrame(list(enumerate(msgs)), "i int, msg binary")
+    [row] = df.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "i",
+                            varint_length_delimited_encode(
+                                F.col("msg")
+                            ).alias("f"),
+                        )
+                    )
+                ),
+                lambda x: x["f"],
+            ),
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x),
+        ).alias("p")
+    ).select(
+        varint_length_delimited_frames(F.col("p")).alias("frames")
+    ).collect()
+    assert [bytes(b) for b in row["frames"]] == msgs
+
+
+@SET
+@given(
+    msgs=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_characters="\x1f",
+                                   min_codepoint=32, max_codepoint=126),
+            max_size=20,
+        ),
+        min_size=1, max_size=10,
+    )
+)
+def test_character_delimited_roundtrip(spark, msgs):
+    """join-with-delimiter → frames is the identity when no message
+    contains the delimiter; interior empties are real frames, a single
+    trailing delimiter adds no frame."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.sources.readers import character_delimited_frames
+
+    payload = "\x1f".join(msgs)
+    # an unterminated trailing empty message is indistinguishable from
+    # end-of-buffer (decode_eof emits remaining bytes only if any);
+    # with a trailing delimiter every message is terminated
+    unterminated = msgs[:-1] if msgs[-1] == "" else msgs
+    for p, expect in ((payload, unterminated), (payload + "\x1f", msgs)):
+        [row] = (
+            spark.range(1)
+            .select(
+                character_delimited_frames(
+                    F.lit(p), "\x1f"
+                ).alias("frames")
+            ).collect()
+        )
+        assert row["frames"] == expect, (p, expect)
+
+
 _apache_word = st.from_regex(r"[A-Za-z0-9_]{1,10}", fullmatch=True)
 
 

@@ -14,7 +14,8 @@ Supported component types map 1:1 to SURVEY §2 operators:
 
 sources:    parquet | csv | json | text (with codec) | transcripts |
             demo_logs | file (multiline or framing: octet_counting /
-            length_delimited / chunked_gelf)
+            length_delimited / varint_length_delimited /
+            character_delimited / chunked_gelf)
 transforms: remap(parse) | remap_exprs | filter | route | exclusive_route | sample |
             throttle | dedupe | reduce | aggregate | window | enrich |
             enrich_geoip | log_to_metric | metric_to_log |
@@ -223,6 +224,33 @@ def _build_source(spark: SparkSession, cfg: dict) -> DataFrame:
                 return whole.select(
                     F.explode(
                         length_delimited_frames(F.col("content"), max_len)
+                    ).alias("_frame")
+                ).select(F.col("_frame").cast("string").alias("value"))
+            if method == "character_delimited":
+                from vector_spark.sources.readers import (
+                    character_delimited_frames,
+                )
+
+                whole = spark.read.text(cfg["path"], wholetext=True)
+                return whole.select(
+                    F.explode(
+                        character_delimited_frames(
+                            F.col("value"), framing["delimiter"], max_len
+                        )
+                    ).alias("value")
+                )
+            if method == "varint_length_delimited":
+                from vector_spark.sources.readers import (
+                    varint_length_delimited_frames,
+                )
+
+                whole = spark.read.format("binaryFile").load(cfg["path"])
+                return whole.select(
+                    F.explode(
+                        varint_length_delimited_frames(
+                            F.col("content"),
+                            framing.get("max_frame_length", 8 * 1024 * 1024),
+                        )
                     ).alias("_frame")
                 ).select(F.col("_frame").cast("string").alias("value"))
             if method == "chunked_gelf":

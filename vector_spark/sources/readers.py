@@ -364,6 +364,90 @@ def length_delimited_frames(col: Column, max_length: int | None = None) -> Colum
     return _frames(col)
 
 
+def character_delimited_frames(
+    col: Column, delimiter: str, max_length: int | None = None
+) -> Column:
+    """Split on an arbitrary delimiter character
+    (framing/character_delimited.rs): frames longer than ``max_length``
+    bytes are discarded ENTIRELY (new_with_max_length docs); a payload
+    ending in the delimiter has no trailing empty frame, but interior
+    empty frames are real frames.  Pure JVM — split + slice + filter,
+    no UDF."""
+    import re as _re
+
+    parts = F.split(col, _re.escape(delimiter))
+    # drop only the trailing "" that a final delimiter produces
+    # (decode_eof emits remaining bytes as a frame only if non-empty)
+    parts = F.when(
+        F.element_at(parts, -1) == "",
+        F.slice(parts, 1, F.size(parts) - 1),
+    ).otherwise(parts)
+    if max_length is not None:
+        parts = F.filter(parts, lambda p: F.octet_length(p) <= max_length)
+    return parts
+
+
+def varint_length_delimited_encode(col: Column) -> Column:
+    """Varint length prefix + payload (binary) — the encode side of
+    framing/varint_length_delimited.rs, for round-trips."""
+
+    @F.pandas_udf("binary")
+    def _enc(msgs: pd.Series) -> pd.Series:
+        from vector_spark.sources.otlp import _write_varint
+
+        return msgs.map(
+            lambda m: None if m is None
+            else _write_varint(len(m)) + bytes(m)
+        )
+
+    return _enc(col.cast("binary"))
+
+
+def varint_length_delimited_frames(
+    col: Column, max_frame_length: int = 8 * 1024 * 1024
+) -> Column:
+    """Split a varint-length-delimited binary payload into frames
+    (array<binary>) — framing/varint_length_delimited.rs.  A frame
+    longer than ``max_frame_length`` (FrameTooLarge) or undecodable
+    trailing bytes at EOF (TrailingData) are framing ERRORS in the
+    reference, which invalidate the stream — rendered here as a NULL
+    array for that payload (the repo's NULL-on-invalid convention); a
+    clean incomplete tail (awaiting more bytes) never occurs at batch
+    EOF, so it is TrailingData too."""
+
+    @F.pandas_udf("array<binary>")
+    def _frames(payloads: pd.Series) -> pd.Series:
+        def split(payload: bytes | None) -> list[bytes] | None:
+            if payload is None:
+                return None
+            buf = bytes(payload)
+            out: list[bytes] = []
+            while buf:
+                # inline varint read (10-byte cap, like the reference's
+                # MAX_VARINT_LENGTH guard)
+                n, shift, i = 0, 0, 0
+                while True:
+                    if i >= len(buf) or i >= 10:
+                        return None  # incomplete varint at EOF
+                    b = buf[i]
+                    n |= (b & 0x7F) << shift
+                    i += 1
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                if n > max_frame_length:
+                    return None  # FrameTooLarge
+                if len(buf) < i + n:
+                    return None  # TrailingData at EOF
+                out.append(buf[i:i + n])
+                buf = buf[i + n:]
+            return out
+
+        return payloads.map(split)
+
+    return _frames(col)
+
+
 #: chunked-GELF magic prefix (chunked_gelf.rs: 0x1e 0x0f)
 GELF_MAGIC = b"\x1e\x0f"
 
