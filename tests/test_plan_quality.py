@@ -259,3 +259,20 @@ def test_curation_e2e_no_cartesian_no_global_window(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_encode_roundtrip_queries_single_scan_no_shuffle(spark):
+    """The codec round-trip queries (syslog/gelf/cef) are per-row
+    encode→decode pipelines: one scan, zero exchanges — any Exchange
+    here would mean an accidental aggregation or join in a map-only
+    plan."""
+    from vector_spark.queries import (
+        q_gelf_encode_roundtrip,
+        q_syslog_encode_roundtrip,
+    )
+
+    for fn in (q_syslog_encode_roundtrip, q_gelf_encode_roundtrip):
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, fn.__name__
+        scans = plan.count("Scan parquet") + plan.count("Scan ExistingRDD")
+        assert scans <= 1, (fn.__name__, scans)

@@ -2267,3 +2267,11 @@ def decode_snappy(col: Column) -> Column:
             f"bundled in this environment): {exc}"
         ) from exc
     return _binary_pandas_udf(snappy.decompress, "decode_snappy")(col)
+
+
+def parse_dnstap(col: Column, *, lowercase_hostnames: bool = False) -> Column:
+    """VRL parse_dnstap (lib/vector-vrl/dnstap-parser) — re-exported
+    from :mod:`vector_spark.functions.dnstap`."""
+    from vector_spark.functions.dnstap import parse_dnstap as _impl
+
+    return _impl(col, lowercase_hostnames=lowercase_hostnames)
