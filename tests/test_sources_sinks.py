@@ -344,9 +344,22 @@ def test_demo_logs_source(spark):
     )
     assert decoded.filter("d.level IS NULL").count() == 0
 
+    # syslog = RFC 5424, bsd_syslog = RFC 3164 (demo_logs.rs:123-133)
+    from vector_spark.functions.vrl import parse_syslog_5424
+
     sy = demo_logs(spark, 200, "syslog")
-    ok = sy.withColumn("d", parse_syslog(F.col("message")))
+    ok = sy.withColumn("d", parse_syslog_5424(F.col("message")))
     assert ok.filter("d IS NULL").count() == 0
+    bsd = demo_logs(spark, 200, "bsd_syslog")
+    ok3164 = bsd.withColumn("d", parse_syslog(F.col("message")))
+    assert ok3164.filter("d IS NULL").count() == 0
+
+    ae = demo_logs(spark, 200, "apache_error")
+    assert ae.filter(
+        ~F.col("message").rlike(r"^\[\w{3} \w{3} \d{2}.*\] \[user\d+:\w+\] "
+                                r"\[pid \d+:tid\] \[client [\d.]+:\d+\] ")
+    ).count() == 0
+
     # deterministic across invocations
     a = sorted(r["message"] for r in demo_logs(spark, 100).collect())
     b = sorted(r["message"] for r in demo_logs(spark, 100).collect())

@@ -561,11 +561,12 @@ def demo_logs(
     fmt: str = "shuffle",
 ) -> DataFrame:
     """Synthetic log source — the reference's demo_logs
-    (/root/reference/src/sources/demo_logs.rs:102-140, formats
-    apache_common | json | logfmt ("shuffle" mixes them) | syslog).
-    Deterministic (LCG-derived, no RNG), fully parallel `range(n)`
-    generation; output is (ts timestamp, message string).
-    """
+    (/root/reference/src/sources/demo_logs.rs:102-140; line shapes from
+    lib/fakedata/src/logs.rs): formats apache_common | apache_error |
+    json | logfmt ("shuffle" mixes them) | syslog (RFC 5424) |
+    bsd_syslog (RFC 3164).  Deterministic (LCG-derived, no RNG), fully
+    parallel `range(n)` generation; output is (ts timestamp,
+    message string)."""
     from vector_spark.data.transcripts import transcripts_df
 
     t = transcripts_df(spark, n).select("ts", F.col("text").alias("message"))
@@ -577,21 +578,49 @@ def demo_logs(
         return t.filter(F.col("message").startswith('{"'))
     if fmt == "logfmt":
         return t.filter(F.col("message").startswith("level="))
-    if fmt == "syslog":
-        # RFC3164 rendering derived from the same deterministic fields
+    if fmt == "apache_error":
+        # apache_error_log_line (logs.rs:104-117):
+        # [timestamp] [user:level] [pid P:tid] [client ip:port] message
         base = transcripts_df(spark, n)
-        pri = (F.crc32(F.col("conv_id")) % 8 + 16).cast("int")  # local0..
         return base.select(
             "ts",
             F.concat(
-                F.lit("<"), pri.cast("string"), F.lit(">"),
-                F.date_format("ts", "MMM dd HH:mm:ss"),
-                F.lit(" host"), (F.crc32("conv_id") % 100).cast("string"),
-                F.lit(" "), F.col("role"),
-                F.lit("["), F.col("turn_idx").cast("string"), F.lit("]: "),
-                F.regexp_replace(F.col("text"), r"\n", " "),
+                F.lit("["), F.date_format("ts", "EEE MMM dd HH:mm:ss yyyy"),
+                F.lit("] [user"), (F.crc32("conv_id") % 1000).cast("string"),
+                F.lit(":"),
+                F.when(F.col("role") == "tool", "crit").otherwise("error"),
+                F.lit("] [pid "), (F.crc32("conv_id") % 9000 + 100).cast("string"),
+                F.lit(":tid] [client 10."),
+                (F.crc32("conv_id") % 256).cast("string"), F.lit(".0."),
+                F.pmod(F.col("turn_idx"), F.lit(256)).cast("string"),
+                F.lit(":"), (F.pmod(F.col("turn_idx"), F.lit(60000)) + 1024)
+                .cast("string"),
+                F.lit("] "), F.regexp_replace(F.col("text"), r"\n", " "),
             ).alias("message"),
         )
+    if fmt in ("syslog", "bsd_syslog"):
+        # syslog = RFC 5424, bsd_syslog = RFC 3164 (demo_logs.rs:123-133)
+        # — rendered by this repo's own encoder (encoding/format/syslog.rs
+        # re-spec), derived from the same deterministic fields
+        from vector_spark.functions.vrl import encode_syslog
+
+        base = transcripts_df(spark, n)
+        line = encode_syslog(
+            F.regexp_replace(F.col("text"), r"\n", " "),
+            rfc="rfc5424" if fmt == "syslog" else "rfc3164",
+            facility=(F.crc32("conv_id") % 8 + 16).cast("int"),  # local0..7
+            severity=F.lit(6),
+            app_name=F.col("role"),
+            proc_id=F.col("turn_idx").cast("string"),
+            msg_id=F.concat(
+                F.lit("ID"), (F.crc32("conv_id") % 999 + 1).cast("string")
+            ),
+            hostname=F.concat(
+                F.lit("host"), (F.crc32("conv_id") % 100).cast("string")
+            ),
+            timestamp=F.col("ts"),
+        )
+        return base.select("ts", line.alias("message"))
     raise ValueError(f"unknown demo_logs format {fmt!r}")
 
 
