@@ -395,6 +395,33 @@ def main() -> None:
 
     bench("lang_id", _lang_id)
 
+    def _dnstap() -> None:
+        # the heaviest pure-Python codec path: every turn → dnstap
+        # protobuf frame → full parse (envelope + DNS wire) → typed
+        # field aggregation
+        from vector_spark.functions.dnstap import encode_dnstap, parse_dnstap
+
+        frame = encode_dnstap(
+            F.pmod(F.col("turn_idx"), F.lit(65536)),
+            F.concat_ws(".", "tool", "conv_id", F.lit("example.com")),
+            F.lit(1),
+            F.lit("10.0.0.7"),
+            F.lit(4242),
+            F.unix_timestamp("ts"),
+            F.lit(5),
+        )
+        ev = F.from_json(
+            parse_dnstap(frame),
+            "messageType string, requestData struct<question: "
+            "array<struct<questionType: string>>>",
+        )
+        transcripts.select(
+            ev.getField("requestData").getField("question").getItem(0)
+            .getField("questionType").alias("qt")
+        ).groupBy("qt").count().collect()
+
+    bench("dnstap_codec", _dnstap)
+
     def _grades() -> None:
         from vector_spark.datapipe.classify import (
             grade_documents, nb_multiclass_weights, topk_per_group,
