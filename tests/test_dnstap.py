@@ -167,3 +167,70 @@ def test_parse_dnstap_spark_column(spark):
         "spark.example.com."
     assert ev["requestData"]["question"][0]["questionType"] == "AAAA"
     assert rows[1]["j"] is None and rows[2]["j"] is None
+
+
+# ---------------------------------------------------------------------------
+# Frame Streams container (src/sources/util/framestream.rs)
+
+
+def test_fstrm_roundtrip_and_state_machine():
+    from vector_spark.functions.dnstap import (
+        encode_dnstap_frame, fstrm_encode, fstrm_split)
+
+    frames = [
+        encode_dnstap_frame(
+            message_type=5, query_message=encode_dns_query(i, f"q{i}.x", 1),
+            query_address=socket.inet_aton("10.0.0.1"), query_port=i + 1,
+        )
+        for i in range(3)
+    ]
+    blob = fstrm_encode(frames)
+    assert fstrm_split(blob) == frames
+    # data frame BEFORE the Start control is dropped, not emitted
+    stray = len(frames[0]).to_bytes(4, "big") + frames[0]
+    assert fstrm_split(stray + blob) == frames
+    # data frame AFTER Stop is dropped too
+    assert fstrm_split(blob + stray) == frames
+    # truncated tail = malformed
+    with pytest.raises(ValueError):
+        fstrm_split(blob[:-3])
+
+
+def test_dnstap_config_source_and_stream_equals_batch(spark, tmp_path):
+    """`type: dnstap` config source over fstrm files; the streaming
+    tail produces exactly the batch rows (stream == batch)."""
+    import json
+
+    from vector_spark.config import build_topology
+    from vector_spark.functions.dnstap import encode_dnstap_frame, fstrm_encode
+    from vector_spark.streaming.pipeline import run_to_memory, stream_dnstap
+
+    d = tmp_path / "fstrm"
+    d.mkdir()
+    for i in range(3):
+        frames = [
+            encode_dnstap_frame(
+                message_type=5,
+                query_message=encode_dns_query(i * 10 + j, f"q{i}-{j}.example", 1),
+                query_address=socket.inet_aton("10.0.0.1"),
+                query_port=1000 + j,
+            )
+            for j in range(2)
+        ]
+        (d / f"s{i}.fstrm").write_bytes(fstrm_encode(frames))
+
+    batch = build_topology(spark, {
+        "sources": {"in": {"type": "dnstap", "path": str(d)}}
+    })["in"]
+    rows = batch.collect()
+    assert len(rows) == 6
+    ids = sorted(json.loads(r["value"])["requestData"]["header"]["id"]
+                 for r in rows)
+    assert ids == [0, 1, 10, 11, 20, 21]
+
+    sdf = stream_dnstap(spark, str(d), max_files_per_trigger=1)
+    assert sdf.isStreaming
+    run_to_memory(sdf, "dnstap_stream_t", output_mode="append")
+    got = sorted(r["value"]
+                 for r in spark.sql("SELECT * FROM dnstap_stream_t").collect())
+    assert got == sorted(r["value"] for r in rows)

@@ -148,6 +148,25 @@ def _build_source(spark: SparkSession, cfg: dict) -> DataFrame:
             decode_otlp(F.col("content"), signals).alias("decoded"),
             F.col("path"),
         )
+    if typ == "dnstap":
+        # dnstap over Frame Streams files (the fstrm container the
+        # reference's dnstap source reads — src/sources/dnstap +
+        # src/sources/util/framestream.rs): one parsed-event JSON row
+        # per data frame
+        from pyspark.sql import functions as F
+
+        from vector_spark.functions.dnstap import fstrm_frames, parse_dnstap
+
+        whole = spark.read.format("binaryFile").load(cfg["path"])
+        frames = whole.select(
+            F.explode(fstrm_frames(F.col("content"))).alias("frame")
+        )
+        return frames.select(
+            parse_dnstap(
+                F.col("frame"),
+                lowercase_hostnames=cfg.get("lowercase_hostnames", False),
+            ).alias("value")
+        )
     if typ == "avro":
         # Avro object container files, decoded jar-free
         # (decoding/format/avro.rs; sources/avro.py pure-Python reader)

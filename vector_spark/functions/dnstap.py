@@ -556,3 +556,88 @@ def encode_dnstap(
         return pd.Series(out, dtype=object)
 
     return _udf(qid, qname, qtype, src_ip, src_port, ts_sec, message_type)
+
+
+# ---------------------------------------------------------------------------
+# Frame Streams (fstrm) — the byte-stream container dnstap rides in
+# (/root/reference/src/sources/util/framestream.rs)
+
+#: content type the reference's dnstap source requires
+#: (src/sources/dnstap/mod.rs)
+DNSTAP_CONTENT_TYPE = b"protobuf:dnstap.Dnstap"
+
+_CTRL_ACCEPT, _CTRL_START, _CTRL_STOP = 0x01, 0x02, 0x03
+_CTRL_READY, _CTRL_FINISH = 0x04, 0x05
+_FIELD_CONTENT_TYPE = 0x01
+
+
+def fstrm_split(payload: bytes) -> list[bytes]:
+    """Frame Streams byte stream → dnstap data frames, running the
+    reference's state machine (framestream.rs:176-196): every frame is
+    u32-BE length-prefixed; a ZERO length escapes the next frame as a
+    control frame; data frames count only while reading (after Start,
+    before Stop).  Truncated tail = malformed → ValueError."""
+    out: list[bytes] = []
+    expect_control = False
+    reading = False
+    i = 0
+    while i < len(payload):
+        if i + 4 > len(payload):
+            raise ValueError("malformed frame")
+        n = int.from_bytes(payload[i:i + 4], "big")
+        i += 4
+        if n == 0:
+            expect_control = True
+            continue
+        if i + n > len(payload):
+            raise ValueError("malformed frame")
+        frame = payload[i:i + n]
+        i += n
+        if expect_control:
+            expect_control = False
+            header = int.from_bytes(frame[:4], "big") if len(frame) >= 4 \
+                else -1
+            if header == _CTRL_START:
+                reading = True
+            elif header == _CTRL_STOP:
+                reading = False
+        elif reading:
+            out.append(frame)
+        # else: data frame outside ReadingData — dropped with an error
+        # log in the reference (framestream.rs:189-195)
+    return out
+
+
+def fstrm_encode(frames: list[bytes],
+                 content_type: bytes = DNSTAP_CONTENT_TYPE) -> bytes:
+    """Render data frames as a Frame Streams byte stream:
+    Start control (with a ContentType field) + data frames + Stop."""
+    def control(header: int, fields: bytes = b"") -> bytes:
+        body = header.to_bytes(4, "big") + fields
+        return (0).to_bytes(4, "big") + len(body).to_bytes(4, "big") + body
+
+    ct = (_FIELD_CONTENT_TYPE.to_bytes(4, "big")
+          + len(content_type).to_bytes(4, "big") + content_type)
+    out = bytearray(control(_CTRL_START, ct))
+    for f in frames:
+        out += len(f).to_bytes(4, "big") + f
+    out += control(_CTRL_STOP)
+    return bytes(out)
+
+
+def fstrm_frames(col: Column) -> Column:
+    """Binary Frame Streams payload → array<binary> of dnstap data
+    frames (NULL on a malformed stream)."""
+
+    @F.pandas_udf("array<binary>")
+    def _udf(payloads: pd.Series) -> pd.Series:
+        def split(p):
+            if p is None:
+                return None
+            try:
+                return fstrm_split(bytes(p))
+            except ValueError:
+                return None
+        return payloads.map(split)
+
+    return _udf(col)

@@ -458,3 +458,23 @@ def stream_avro(
 
     decoded = binary.select("content").mapInPandas(gen, "value string")
     return decoded.select(F.from_json("value", ddl).alias("r")).select("r.*")
+
+
+def stream_dnstap(
+    spark: SparkSession, source_dir: str, **kwargs
+) -> DataFrame:
+    """Streaming dnstap source: tail a directory of Frame Streams
+    files (the fstrm container the reference's dnstap source reads —
+    src/sources/dnstap + src/sources/util/framestream.rs) into one
+    parsed-event JSON row per data frame.  The fstrm split and the
+    dnstap parse are stateless row generators, so stream output ==
+    batch output over the same files (tested)."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.dnstap import fstrm_frames, parse_dnstap
+
+    binary = stream_binary_files(spark, source_dir, **kwargs)
+    frames = binary.select(
+        F.explode(fstrm_frames(F.col("content"))).alias("frame")
+    )
+    return frames.select(parse_dnstap(F.col("frame")).alias("value"))
