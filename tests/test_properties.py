@@ -625,3 +625,25 @@ def test_cbor_roundtrip_property(v):
     from vector_spark.functions.cbor import decode_cbor_py, encode_cbor_py
 
     assert decode_cbor_py(encode_cbor_py(v)) == v
+
+
+@SET
+@given(msg=st.binary(min_size=1, max_size=400))
+def test_gelf_chunk_reassemble_roundtrip(spark, msg):
+    """gelf_chunk → reassemble_gelf_chunks is the identity for any
+    payload (encoding/chunking/gelf.rs ↔ framing/chunked_gelf.rs):
+    header layout, sequence order, and final-chunk truncation must all
+    cancel."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.sources.readers import (
+        gelf_chunk,
+        reassemble_gelf_chunks,
+    )
+
+    chunks = (
+        spark.createDataFrame([(msg,)], "m binary")
+        .select(F.explode(gelf_chunk(F.col("m"), 13 + 32)).alias("payload"))
+    )
+    [row] = reassemble_gelf_chunks(chunks).collect()
+    assert bytes(row["message"]) == msg

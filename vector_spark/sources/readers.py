@@ -452,6 +452,36 @@ def varint_length_delimited_frames(
 GELF_MAGIC = b"\x1e\x0f"
 
 
+def gelf_chunk(col: Column, max_chunk_size: int = 8192) -> Column:
+    """GELF native chunking — the encode side of chunked GELF
+    (encoding/chunking/gelf.rs): payloads over ``max_chunk_size``
+    split into up to 128 chunks of ``max_chunk_size - 12`` bytes, each
+    prefixed magic(2) + message_id(8) + seq(1) + total(1).  Returns
+    array<binary> (a single un-chunked element when the payload fits);
+    more than 128 chunks is the reference's TooManyChunks error →
+    NULL.  The reference draws a random message id; batch determinism
+    derives it from xxhash64(payload) instead.  Pure JVM expressions —
+    pairs with :func:`reassemble_gelf_chunks` for the round-trip."""
+    if max_chunk_size < 13:
+        raise ValueError("max_chunk_size must be at least 13 bytes")
+    b = col.cast("binary")
+    chunk_size = max_chunk_size - 12
+    n = F.ceil(F.octet_length(b) / F.lit(chunk_size)).cast("int")
+    msg_id = F.unhex(F.lpad(F.hex(F.xxhash64(b)), 16, "0"))
+    byte = lambda c: F.unhex(F.lpad(F.hex(c), 2, "0"))  # noqa: E731
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat(
+            F.lit(GELF_MAGIC), msg_id, byte(i), byte(n),
+            F.substring(b, i * chunk_size + 1, F.lit(chunk_size)),
+        ),
+    )
+    return (
+        F.when(F.octet_length(b) <= max_chunk_size, F.array(b))
+        .when(n <= 128, chunks)
+    )
+
+
 def reassemble_gelf_chunks(
     df: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:
