@@ -234,3 +234,33 @@ def test_dnstap_config_source_and_stream_equals_batch(spark, tmp_path):
     got = sorted(r["value"]
                  for r in spark.sql("SELECT * FROM dnstap_stream_t").collect())
     assert got == sorted(r["value"] for r in rows)
+
+
+def test_update_message_form():
+    """UpdateQuery (type 13) parses as the DNS UPDATE layout
+    (parser.rs:714-853): zone from the first question entry, the
+    prerequisite/update/additional re-keying, and the UpdateHeader
+    count names."""
+    from vector_spark.functions.dnstap import encode_dnstap_frame
+
+    # UPDATE wire: opcode 5, zone=(example.com SOA IN), one update RR
+    head = struct.pack(">HHHHHH", 11, 5 << 11, 1, 0, 1, 0)
+    zone = encode_name("example.com") + struct.pack(">HH", 6, 1)
+    up = _rr(encode_name("new.example.com"), 1, 1, 300,
+             bytes([10, 0, 0, 9]))
+    wire = head + zone + up
+    frame = encode_dnstap_frame(
+        message_type=13, query_message=wire,
+        query_address=socket.inet_aton("10.0.0.1"), query_port=5,
+    )
+    ev = decode_dnstap_frame(frame)
+    assert ev["messageType"] == "UpdateQuery"
+    rd = ev["requestData"]
+    assert rd["header"] == {"id": 11, "opcode": 5, "rcode": 0, "qr": 0,
+                            "zoCount": 1, "prCount": 0, "upCount": 1,
+                            "adCount": 0}
+    assert rd["zone"] == {"zName": "example.com.", "zType": "SOA",
+                          "zTypeId": 6, "zClass": "IN"}
+    assert rd["update"][0]["rData"] == "10.0.0.9"
+    assert rd["prerequisite"] == [] and "question" not in rd
+    assert "answers" not in rd and rd["rcodeName"] == "NoError"

@@ -227,28 +227,44 @@ def _format_rdata(rtype: int, rdata: bytes, buf: bytes, off: int,
     return None, base64.b64encode(rdata).decode("ascii")
 
 
-def decode_dns_message(data: bytes, *, lowercase: bool = False) -> dict:
+def decode_dns_message(data: bytes, *, lowercase: bool = False,
+                       update_form: bool = False) -> dict:
     """One DNS wire message → the reference's requestData/responseData
     object: fullRcode + rcodeName + header + question/answers/
     authority/additional sections (+ opt pseudo-section when an EDNS
-    OPT record is present)."""
+    OPT record is present).
+
+    ``update_form`` renders the DNS UPDATE layout instead
+    (parser.rs:714-853 / dns_message_parser.rs:123-140): the same wire
+    sections re-keyed as zone (zName/zType/zTypeId/zClass, from the
+    first question entry) / prerequisite / update / additional, with
+    the UpdateHeader count names (zoCount/prCount/upCount/adCount)."""
     if len(data) < 12:
         raise ValueError("message shorter than the 12-byte header")
     qid, flags, qd, an, ns, ar = struct.unpack(">HHHHHH", data[:12])
     rcode = flags & 0xF
-    header = {
-        "id": qid,
-        "opcode": (flags >> 11) & 0xF,
-        "rcode": rcode,
-        "qr": (flags >> 15) & 1,
-        "aa": bool((flags >> 10) & 1),
-        "tc": bool((flags >> 9) & 1),
-        "rd": bool((flags >> 8) & 1),
-        "ra": bool((flags >> 7) & 1),
-        "ad": bool((flags >> 5) & 1),
-        "cd": bool((flags >> 4) & 1),
-        "qdCount": qd, "anCount": an, "nsCount": ns, "arCount": ar,
-    }
+    if update_form:
+        header = {
+            "id": qid,
+            "opcode": (flags >> 11) & 0xF,
+            "rcode": rcode,
+            "qr": (flags >> 15) & 1,
+            "zoCount": qd, "prCount": an, "upCount": ns, "adCount": ar,
+        }
+    else:
+        header = {
+            "id": qid,
+            "opcode": (flags >> 11) & 0xF,
+            "rcode": rcode,
+            "qr": (flags >> 15) & 1,
+            "aa": bool((flags >> 10) & 1),
+            "tc": bool((flags >> 9) & 1),
+            "rd": bool((flags >> 8) & 1),
+            "ra": bool((flags >> 7) & 1),
+            "ad": bool((flags >> 5) & 1),
+            "cd": bool((flags >> 4) & 1),
+            "qdCount": qd, "anCount": an, "nsCount": ns, "arCount": ar,
+        }
     off = 12
     question = []
     for _ in range(qd):
@@ -323,14 +339,32 @@ def decode_dns_message(data: bytes, *, lowercase: bool = False) -> dict:
     authority = read_records(ns)
     additional = read_records(ar)
 
-    msg = {
-        "fullRcode": full_rcode,
-        "header": header,
-        "question": question,
-        "answers": answers,
-        "authority": authority,
-        "additional": additional,
-    }
+    if update_form:
+        msg = {
+            "fullRcode": full_rcode,
+            "header": header,
+            "prerequisite": answers,
+            "update": authority,
+            "additional": additional,
+        }
+        if question:
+            # ZoneInfo from the first query entry (dns_message.rs:104)
+            q0 = question[0]
+            zone = {"zName": q0["domainName"],
+                    "zTypeId": q0["questionTypeId"],
+                    "zClass": q0["class"]}
+            if "questionType" in q0:
+                zone["zType"] = q0["questionType"]
+            msg["zone"] = zone
+    else:
+        msg = {
+            "fullRcode": full_rcode,
+            "header": header,
+            "question": question,
+            "answers": answers,
+            "authority": authority,
+            "additional": additional,
+        }
     if full_rcode in RCODE_NAMES:
         msg["rcodeName"] = RCODE_NAMES[full_rcode]
     if opt is not None:
@@ -432,16 +466,21 @@ def _decode_dnstap_message(out: dict, m: dict, lowercase: bool) -> None:
     if type_id not in MESSAGE_TYPES:
         raise ValueError(
             f"Unsupported DNSTap message type: {type_id}")
+    # UpdateQuery/UpdateResponse (13/14) parse as DNS UPDATE messages
+    # (parser.rs:323-373)
+    update_form = type_id in (13, 14)
     if "query_message" in m:
         raw = base64.b64decode(m["query_message"])
         out["requestMessageSize"] = len(raw)
-        parsed = decode_dns_message(raw, lowercase=lowercase)
+        parsed = decode_dns_message(
+            raw, lowercase=lowercase, update_form=update_form)
         parsed.update(out.get("requestData") or {})
         out["requestData"] = parsed
     if "response_message" in m:
         raw = base64.b64decode(m["response_message"])
         out["responseMessageSize"] = len(raw)
-        parsed = decode_dns_message(raw, lowercase=lowercase)
+        parsed = decode_dns_message(
+            raw, lowercase=lowercase, update_form=update_form)
         parsed.update(out.get("responseData") or {})
         out["responseData"] = parsed
 
