@@ -104,11 +104,35 @@ def test_edns_opt_and_full_rcode():
     assert msg["opt"] == {
         "extendedRcode": 1, "ednsVersion": 0, "do": True,
         "udpPayloadSize": 1232,
-        "options": [{"optCode": 10, "optValue": ""}],
+        "options": [{"optCode": 10, "optName": "Cookie", "optValue": ""}],
+        "ede": [],
     }
     assert msg["fullRcode"] == 16 and msg["rcodeName"] == "BADVERS"
     # OPT is a pseudo-record: kept out of additional, counted in arCount
     assert msg["additional"] == [] and msg["header"]["arCount"] == 1
+
+
+def test_edns_ede_entries():
+    """EDE options (code 15, ede.rs) split out of the generic options
+    list into `ede` entries with infoCode/purpose/extraText."""
+    ede1 = struct.pack(">HH", 15, 2) + struct.pack(">H", 6)      # Bogus
+    ede2 = struct.pack(">HH", 15, 7) + struct.pack(">H", 99) + b"oops!"
+    nsid = struct.pack(">HH", 3, 2) + b"ab"
+    rdata = ede1 + ede2 + nsid
+    head = struct.pack(">HHHHHH", 2, 0x8000, 0, 0, 0, 1)
+    opt = b"\x00" + struct.pack(">HHIH", 41, 512, 0, len(rdata)) + rdata
+    msg = decode_dns_message(head + opt)
+    assert msg["opt"]["ede"] == [
+        {"infoCode": 6, "purpose": "DNSSEC Bogus"},
+        {"infoCode": 99, "extraText": "oops!"},  # unknown code: no purpose
+    ]
+    assert msg["opt"]["options"] == [
+        {"optCode": 3, "optName": "NSID", "optValue": "YWI="}]
+    # bad UTF-8 in EDE text is a message parse error (DecodeError::Utf8)
+    bad = struct.pack(">HH", 15, 3) + struct.pack(">H", 1) + b"\xff"
+    opt_bad = b"\x00" + struct.pack(">HHIH", 41, 512, 0, len(bad)) + bad
+    with pytest.raises(ValueError, match="EDE"):
+        decode_dns_message(head + opt_bad)
 
 
 def test_bad_dns_payload_keeps_envelope_with_error():

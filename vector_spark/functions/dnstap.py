@@ -126,6 +126,36 @@ RECORD_TYPES = {
 }
 CLASSES = {1: "IN", 2: "CS", 3: "CH", 4: "HS", 254: "NONE", 255: "ANY"}
 
+#: EDNS option code names (hickory EdnsCode Debug names, the
+#: reference's optName rendering — dns_message_parser.rs:1055-1061)
+EDNS_OPTION_NAMES = {
+    0: "Zero", 1: "LLQ", 2: "UL", 3: "NSID", 5: "DAU", 6: "DHU",
+    7: "N3U", 8: "Subnet", 9: "Expire", 10: "Cookie", 11: "Keepalive",
+    12: "Padding", 13: "Chain",
+}
+
+#: Extended DNS Error code 15 (lib/dnsmsg-parser/src/ede.rs)
+EDE_OPTION_CODE = 15
+
+#: EDE purposes (ede.rs:22-58, the IANA extended-dns-error registry)
+EDE_PURPOSES = {
+    0: "Other Error", 1: "Unsupported DNSKEY Algorithm",
+    2: "Unsupported DS Digest Type", 3: "Stale Answer",
+    4: "Forged Answer", 5: "DNSSEC Indeterminate", 6: "DNSSEC Bogus",
+    7: "Signature Expired", 8: "Signature Not Yet Valid",
+    9: "DNSKEY Missing", 10: "RRSIGs Missing",
+    11: "No Zone Key Bit Set", 12: "NSEC Missing", 13: "Cached Error",
+    14: "Not Ready", 15: "Blocked", 16: "Censored", 17: "Filtered",
+    18: "Prohibited", 19: "Stale NXDomain Answer",
+    20: "Not Authoritative", 21: "Not Supported",
+    22: "No Reachable Authority", 23: "Network Error",
+    24: "Invalid Data", 25: "Signature Expired before Valid",
+    26: "Too Early", 27: "Unsupported NSEC3 Iterations Value",
+    28: "Unable to conform to policy", 29: "Synthesized",
+    30: "Invalid Query Type",
+}
+
+
 #: parse_response_code (dns_message_parser.rs:938-963)
 RCODE_NAMES = {
     0: "NoError", 1: "FormErr", 2: "ServFail", 3: "NXDomain",
@@ -306,17 +336,38 @@ def decode_dns_message(data: bytes, *, lowercase: bool = False,
                     "do": bool((ttl >> 15) & 1),
                     "udpPayloadSize": rclass,
                     "options": [],
+                    "ede": [],
                 }
                 i = 0
                 while i + 4 <= len(rdata):
                     code, olen = struct.unpack(">HH", rdata[i:i + 4])
+                    body = rdata[i + 4:i + 4 + olen]
+                    i += 4 + olen
+                    if code == EDE_OPTION_CODE:
+                        # Extended DNS Error (ede.rs): u16 info-code +
+                        # optional UTF-8 text; bad UTF-8 is a parse
+                        # error like the reference's DecodeError::Utf8
+                        if len(body) < 2:
+                            raise ValueError("truncated EDE option")
+                        info = struct.unpack(">H", body[:2])[0]
+                        entry = {"infoCode": info}
+                        if info in EDE_PURPOSES:
+                            entry["purpose"] = EDE_PURPOSES[info]
+                        if len(body) > 2:
+                            try:
+                                entry["extraText"] = body[2:].decode(
+                                    "utf-8")
+                            except UnicodeDecodeError as exc:
+                                raise ValueError(
+                                    f"invalid EDE text: {exc}") from exc
+                        opt["ede"].append(entry)
+                        continue
                     opt["options"].append({
                         "optCode": code,
-                        "optValue": base64.b64encode(
-                            rdata[i + 4:i + 4 + olen]
-                        ).decode("ascii"),
+                        "optName": EDNS_OPTION_NAMES.get(
+                            code, f"Unknown({code})"),
+                        "optValue": base64.b64encode(body).decode("ascii"),
                     })
-                    i += 4 + olen
                 full_rcode = (ext_rcode << 4) | rcode
                 continue
             rec = {"domainName": name,
