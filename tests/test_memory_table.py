@@ -92,3 +92,35 @@ def test_lookup_is_broadcast_join(spark, tbl_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_expired_export_and_memory_source(spark, tbl_dir):
+    """Memory table as a SOURCE (memory/source.rs): state(as_of)
+    exports the live items, expired(as_of) exports the TTL-lapsed
+    entries instead of dropping them silently; both reachable as a
+    `type: memory` config source."""
+    from vector_spark.config import build_topology
+
+    t0 = dt.datetime(2026, 1, 1)
+    tbl = MemoryTable(spark, tbl_dir, ["service"], ttl_sec=600)
+    tbl.write(_writes(spark, [
+        ("api", "up", t0),
+        ("db", "down", t0 + dt.timedelta(seconds=500)),
+    ]))
+    as_of = t0 + dt.timedelta(seconds=700)  # api expired, db live
+    live = {r["service"] for r in tbl.state(F.lit(as_of)).collect()}
+    gone = {r["service"]: r["status"]
+            for r in tbl.expired(F.lit(as_of)).collect()}
+    assert live == {"db"} and gone == {"api": "up"}
+    # state + expired partition the key set
+    assert live.isdisjoint(gone)
+
+    base = {"path": tbl_dir, "key_cols": ["service"], "ttl": 600,
+            "as_of": "2026-01-01 00:11:40"}
+    out = build_topology(spark, {
+        "sources": {"in": {"type": "memory", **base}}})["in"]
+    assert {r["service"] for r in out.collect()} == {"db"}
+    exp = build_topology(spark, {
+        "sources": {"in": {"type": "memory", **base,
+                           "export": "expired"}}})["in"]
+    assert {r["service"] for r in exp.collect()} == {"api"}

@@ -148,6 +148,21 @@ def _build_source(spark: SparkSession, cfg: dict) -> DataFrame:
             decode_otlp(F.col("content"), signals).alias("decoded"),
             F.col("path"),
         )
+    if typ == "memory":
+        # memory enrichment table used as a SOURCE
+        # (src/enrichment_tables/memory/source.rs): export the table's
+        # items — or its TTL-expired entries — as events at an as-of
+        # point (the batch rendering of the interval export)
+        from vector_spark.operators.memory_table import MemoryTable
+
+        mt = MemoryTable(
+            spark, cfg["path"], cfg["key_cols"],
+            ttl_sec=cfg.get("ttl", 600), ttl_col=cfg.get("ttl_col"),
+        )
+        as_of = cfg["as_of"]
+        if cfg.get("export") == "expired":
+            return mt.expired(as_of)
+        return mt.state(as_of)
     if typ == "dnstap":
         # dnstap over Frame Streams files (the fstrm container the
         # reference's dnstap source reads — src/sources/dnstap +

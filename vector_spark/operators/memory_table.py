@@ -104,15 +104,7 @@ class MemoryTable:
 
     # -- reads -----------------------------------------------------------
 
-    def state(self, as_of: Column | str) -> DataFrame:
-        """The key→value map as of event time ``as_of``: latest
-        non-expired write per key.
-
-        Last-write-wins is a ``max_by`` AGGREGATION, not a
-        partitionBy(key) window: enrichment keys are low-cardinality by
-        nature, and a window would shuffle EVERY write of a hot key to
-        one task; max_by partial-aggregates map-side so only one
-        candidate row per key per partition reaches the shuffle."""
+    def _latest(self, as_of: Column | str):
         as_of_c = F.lit(as_of).cast("timestamp") if isinstance(as_of, str) else as_of
         df = self._table.read().filter(F.col("_written_ts") <= as_of_c)
         value_cols = [c for c in df.columns if c not in self.key_cols]
@@ -134,7 +126,30 @@ class MemoryTable:
             else F.lit(self.ttl_sec)
         )
         age = F.unix_timestamp(as_of_c) - F.unix_timestamp(F.col("_written_ts"))
+        return latest, age, ttl
+
+    def state(self, as_of: Column | str) -> DataFrame:
+        """The key→value map as of event time ``as_of``: latest
+        non-expired write per key.  This is also the memory table's
+        SOURCE surface — the reference can export its items as events
+        on an interval (memory/source.rs `export_table_items`); a batch
+        export is this frame at the chosen as-of.
+
+        Last-write-wins is a ``max_by`` AGGREGATION, not a
+        partitionBy(key) window: enrichment keys are low-cardinality by
+        nature, and a window would shuffle EVERY write of a hot key to
+        one task; max_by partial-aggregates map-side so only one
+        candidate row per key per partition reaches the shuffle."""
+        latest, age, ttl = self._latest(as_of)
         return latest.filter(age <= ttl)
+
+    def expired(self, as_of: Column | str) -> DataFrame:
+        """Entries whose TTL had lapsed by ``as_of`` — the batch
+        rendering of the reference's expired-entry export
+        (memory/source.rs `export_expired_entries`: entries removed by
+        TTL are emitted as events instead of dropped silently)."""
+        latest, age, ttl = self._latest(as_of)
+        return latest.filter(age > ttl)
 
     def lookup(
         self,
