@@ -713,3 +713,42 @@ def test_encode_gelf_errors(spark):
     g = json.loads(_one(spark, vrl.encode_gelf(
         F.lit("h"), F.lit("m"), level=F.lit("warn"))))
     assert "level" not in g and g["version"] == "1.1"
+
+
+def test_encode_syslog_reference_test_vectors(spark):
+    """The reference's own encoder test expectations, byte for byte
+    (encoding/format/syslog.rs tests: test_rfc5424_defaults,
+    test_rfc5424_all_fields, test_rfc3164_all_fields)."""
+    ts = F.to_timestamp(F.lit("2025-08-28 18:30:00.123456"))
+    # defaults: user/informational, app "vector", NILs
+    assert _one(spark, vrl.encode_syslog(
+        F.lit("original message"),
+        hostname=F.lit("test-host.com"), timestamp=ts,
+    )) == ("<14>1 2025-08-28T18:30:00.123456Z test-host.com vector "
+           "- - - original message")
+    # all fields: daemon(3)*8 + critical(2) = 26, SD from nested object
+    all_fields = dict(
+        facility=F.lit("daemon"), severity=F.lit(2),
+        app_name=F.lit("my-app"), proc_id=F.lit("12345"),
+        msg_id=F.lit("req-abc-789"), hostname=F.lit("test-host.com"),
+        timestamp=ts,
+    )
+    assert _one(spark, vrl.encode_syslog(
+        F.lit("original message"),
+        structured_data=F.create_map(
+            F.lit("metrics"), F.create_map(F.lit("retries"), F.lit("3"))),
+        **all_fields,
+    )) == ('<26>1 2025-08-28T18:30:00.123456Z test-host.com my-app '
+           '12345 req-abc-789 [metrics retries="3"] original message')
+    # rfc3164 drops structured data and msgid
+    assert _one(spark, vrl.encode_syslog(
+        F.lit("original message"), rfc="rfc3164", **all_fields,
+    )) == "<26>Aug 28 18:30:00 test-host.com my-app[12345]: original message"
+    # get_syslog_code parsing logic: names any case, aliases, digits
+    for fac, sev, pri in [("daemon", "critical", 26), ("DAEMON", "CRIT", 26),
+                          (3, 2, 26), ("daemon", "panic", 24),
+                          ("daemon", "warn", 28)]:
+        line = _one(spark, vrl.encode_syslog(
+            F.lit("m"), facility=F.lit(fac), severity=F.lit(sev),
+            timestamp=ts))
+        assert line.startswith(f"<{pri}>"), (fac, sev, line)
