@@ -752,3 +752,33 @@ def test_encode_syslog_reference_test_vectors(spark):
             F.lit("m"), facility=F.lit(fac), severity=F.lit(sev),
             timestamp=ts))
         assert line.startswith(f"<{pri}>"), (fac, sev, line)
+
+
+def test_encode_gelf_reference_test_vectors(spark):
+    """Behavioral assertions from the reference's encoder tests
+    (encoding/format/gelf.rs: gelf_serializing_valid / _coerced /
+    _timestamp): core fields pass through, missing-underscore
+    additional fields get prefixed, numbers stay numbers, and the
+    sub-second epoch renders as a float."""
+    import json
+
+    g = json.loads(_one(spark, vrl.encode_gelf(
+        F.lit("example.org"), F.lit("Some message"),
+        full_message=F.lit("Even more message"),
+        file=F.lit("/tmp/foobar"), line=F.lit(1.5), level=F.lit(5),
+    )))
+    assert g["version"] == "1.1" and g["host"] == "example.org"
+    assert g["short_message"] == "Some message"
+    assert g["full_message"] == "Even more message"
+    assert g["line"] == 1.5 and g["level"] == 5
+    g2 = json.loads(_one(spark, vrl.encode_gelf(
+        F.lit("example.org"), F.lit("Some message"),
+        additional={"noUnderScore": F.lit(0)},
+    )))
+    assert g2["_noUnderScore"] == 0 and "noUnderScore" not in g2
+    # sub-second epoch → float (gelf_serializing_timestamp)
+    g3 = json.loads(_one(spark, vrl.encode_gelf(
+        F.lit("h"), F.lit("m"),
+        timestamp=F.to_timestamp(F.lit("1970-01-01 00:00:00.1")),
+    )))
+    assert g3["timestamp"] == 0.1
