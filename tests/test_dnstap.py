@@ -42,6 +42,7 @@ def test_client_query_envelope():
     assert ev["sourceAddress"] == "10.1.2.3" and ev["sourcePort"] == 53533
     assert ev["time"] == 1767225600123456789
     assert ev["timePrecision"] == "ns"
+    assert ev["timestamp"] == "2026-01-01T00:00:00.123456789Z"
     rd = ev["requestData"]
     assert rd["header"]["id"] == 4242 and rd["header"]["rd"] is True
     assert rd["question"][0]["domainName"] == "API.svc.Example.com."
@@ -288,3 +289,53 @@ def test_update_message_form():
     assert rd["update"][0]["rData"] == "10.0.0.9"
     assert rd["prerequisite"] == [] and "question" not in rd
     assert "answers" not in rd and rd["rcodeName"] == "NoError"
+
+
+#: the reference's own test capture — a real BIND 9.16.3 ResolverQuery
+#: dnstap frame (parser.rs test_parse_dnstap_data_with_query_message)
+_BIND_RESOLVER_QUERY_B64 = (
+    "ChVqYW1lcy1WaXJ0dWFsLU1hY2hpbmUSC0JJTkQgOS4xNi4zcnoIAxACGAEiEAAAAAAAAA"
+    "AAAAAAAAAAAAAqECABBQJwlAAAAAAAAAAAADAw8+0CODVA7+zq9wVNMU3WNlI2kwIAAAAB"
+    "AAAAAAABCWZhY2Vib29rMQNjb20AAAEAAQAAKQIAAACAAAAMAAoACOxjCAG9zVgzWgUDY2"
+    "9tAHgB"
+)
+
+
+def test_reference_bind_capture_full_expected_map():
+    """The reference's own end-to-end test vector, value for value
+    (parser.rs:1071-1176 expected_map): a real BIND 9.16.3 dnstap
+    frame must decode to the exact same event."""
+    import base64
+
+    ev = decode_dnstap_frame(base64.b64decode(_BIND_RESOLVER_QUERY_B64))
+    rd = ev["requestData"]
+    assert ev["dataType"] == "Message" and ev["dataTypeId"] == 1
+    assert ev["messageType"] == "ResolverQuery" and ev["messageTypeId"] == 3
+    assert ev["requestMessageSize"] == 54
+    assert ev["queryZone"] == "com."
+    assert rd["fullRcode"] == 0 and rd["rcodeName"] == "NoError"
+    assert rd["header"] == {
+        "id": 37634, "opcode": 0, "rcode": 0, "qr": 0, "aa": False,
+        "tc": False, "rd": False, "ra": False, "ad": False, "cd": False,
+        "qdCount": 1, "anCount": 0, "nsCount": 0, "arCount": 1,
+    }
+    assert rd["opt"]["do"] is True
+    assert rd["opt"]["ednsVersion"] == 0
+    assert rd["opt"]["extendedRcode"] == 0
+    assert rd["opt"]["udpPayloadSize"] == 512
+    assert rd["opt"]["options"] == [{
+        "optCode": 10, "optName": "Cookie", "optValue": "7GMIAb3NWDM=",
+    }]
+    assert rd["question"] == [{
+        "domainName": "facebook1.com.", "questionType": "A",
+        "questionTypeId": 1, "class": "IN",
+    }]
+    assert ev["socketFamily"] == "INET6" and ev["socketProtocol"] == "UDP"
+    assert ev["sourceAddress"] == "::" and ev["sourcePort"] == 46835
+    assert ev["responseAddress"] == "2001:502:7094::30"
+    assert ev["responsePort"] == 53
+    assert ev["serverId"] == "james-Virtual-Machine"
+    assert ev["serverVersion"] == "BIND 9.16.3"
+    assert ev["time"] == 1_593_489_007_920_014_129
+    assert ev["timePrecision"] == "ns"
+    assert ev["timestamp"] == "2020-06-30T03:50:07.920014129Z"

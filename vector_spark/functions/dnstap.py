@@ -488,17 +488,30 @@ def _decode_dnstap_message(out: dict, m: dict, lowercase: bool) -> None:
             out["responseAddress"] = _ip_str(m["response_address"], fam)
         if "response_port" in m:
             out["responsePort"] = m["response_port"]
+    if "query_zone" in m:
+        # query_zone is an uncompressed DNS name (parser.rs:191-204)
+        raw_zone = base64.b64decode(m["query_zone"])
+        out["queryZone"] = _decode_name(raw_zone, 0,
+                                        lowercase=lowercase)[0]
     type_id = _ENUM_TO_ID.get(m.get("type"), 0)
     out["messageTypeId"] = type_id
     out["messageType"] = MESSAGE_TYPES.get(
         type_id, f"Unknown dnstap message type: {type_id}")
 
     def set_time(sec, nsec, own_set, msg_key_absent):
+        from datetime import datetime, timezone
+
         t_ns = int(sec) * 1_000_000_000 + int(nsec or 0)
         if type_id in own_set:
             out["time"] = t_ns
             out["timePrecision"] = "ns"
-            out["timestamp"] = int(sec)
+            # the host timestamp key: RFC3339 with the nanosecond
+            # precision the reference's chrono timestamp carries
+            dt = datetime.fromtimestamp(int(sec), tz=timezone.utc)
+            iso = dt.strftime("%Y-%m-%dT%H:%M:%S")
+            if nsec:
+                iso += f".{int(nsec):09d}"
+            out["timestamp"] = iso + "Z"
         if msg_key_absent:
             # the reference logs the time under the absent message's
             # section (parse_dnstap_message_time, parser.rs:430-437)
