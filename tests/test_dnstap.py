@@ -339,3 +339,75 @@ def test_reference_bind_capture_full_expected_map():
     assert ev["time"] == 1_593_489_007_920_014_129
     assert ev["timePrecision"] == "ns"
     assert ev["timestamp"] == "2020-06-30T03:50:07.920014129Z"
+
+
+def test_reference_bind_capture_lowercase_hostnames():
+    """The reference's lowercase-hostnames vector (parser.rs
+    test_parse_dnstap_data_lowercase_hostnames): a BIND 9.18 ClientResponse
+    whose names are 'Vector.Dev.' raw and 'vector.dev.' lowercased."""
+    import base64
+
+    blob = base64.b64decode(
+        "Cgw2NzNiNWZiZWI5MmESMkJJTkQgOS4xOC4yMS0xK3VidW50dTIyLjA0LjErZGVi"
+        "LnN1cnkub3JnKzEtVWJ1bnR1cqkBCAYQARgBIgQKWQUeKgQKWQUqMMitAjg1YLXQ"
+        "p68GbZ9tBw9ygwGInoGAAAEABAAAAAEGVmVjdG9yA0RldgAAAQABwAwAAQABAAAA"
+        "PAAEEvVWOMAMAAEAAQAAADwABBL1VnnADAABAAEAAAA8AAQS9VYSwAwAAQABAAAA"
+        "PAAEEvVWWQAAKQTQAAAAAAAcAAoAGERDbSN8uKngAQAAAGXp6DXs0fbpv0n9F3gB"
+    )
+    ev = decode_dnstap_frame(blob)
+    assert ev["dataType"] == "Message" and ev["dataTypeId"] == 1
+    assert ev["responseData"]["question"][0]["domainName"] == "Vector.Dev."
+    assert ev["responseData"]["answers"][0]["domainName"] == "Vector.Dev."
+    low = decode_dnstap_frame(blob, lowercase=True)
+    assert low["responseData"]["question"][0]["domainName"] == "vector.dev."
+    assert low["responseData"]["answers"][0]["domainName"] == "vector.dev."
+
+
+def test_reference_bind_capture_ede_options():
+    """The reference's EDE vector (parser.rs
+    test_parse_dnstap_data_with_ede_options): DNSKEY Missing with the
+    dnssec-failed.org extra text."""
+    import base64
+
+    blob = base64.b64decode(
+        "ChVqYW1lcy1WaXJ0dWFsLU1hY2hpbmUSC0JJTkQgOS4xNi4zGgBy5wEIAxACGAEi"
+        "EAAAAAAAAAAAAAAAAAAAAAAqECABBQJwlAAAAAAAAAAAADAw8+0CODVA7+zq9wVN"
+        "MU3WNlI2kwIAAAABAAAAAAABCWZhY2Vib29rMQNjb20AAAEAAQAAKQIAAACAAAAM"
+        "AAoACOxjCAG9zVgzWgUDY29tAGAAbQAAAAByZLM4AAAAAQAAAAAAAQJoNQdleGFt"
+        "cGxlA2NvbQAABgABAAApBNABAUAAADkADwA1AAlubyBTRVAgbWF0Y2hpbmcgdGhl"
+        "IERTIGZvdW5kIGZvciBkbnNzZWMtZmFpbGVkLm9yZy54AQ=="
+    )
+    ev = decode_dnstap_frame(blob)
+    assert ev["responseData"]["opt"]["ede"] == [{
+        "infoCode": 9, "purpose": "DNSKEY Missing",
+        "extraText": "no SEP matching the DS found for dnssec-failed.org.",
+    }]
+
+
+def test_reference_bind_capture_update_message():
+    """The reference's UPDATE vector (parser.rs
+    test_parse_dnstap_data_with_update_message), value for value."""
+    import base64
+
+    blob = base64.b64decode(
+        "ChVqYW1lcy1WaXJ0dWFsLU1hY2hpbmUSC0JJTkQgOS4xNi4zcmsIDhABGAEiBH8A"
+        "AAEqBH8AAAEwrG44AEC+iu73BU14gfofUh1wi6gAAAEAAAAAAAAHZXhhbXBsZQNj"
+        "b20AAAYAAWC+iu73BW0agDwvch1wi6gAAAEAAAAAAAAHZXhhbXBsZQNjb20AAAYA"
+        "AXgB"
+    )
+    ev = decode_dnstap_frame(blob)
+    assert ev["messageType"] == "UpdateResponse" and ev["messageTypeId"] == 14
+    assert ev["requestMessageSize"] == 29 and ev["responseMessageSize"] == 29
+    for section in ("requestData", "responseData"):
+        d = ev[section]
+        assert d["header"] == {"id": 28811, "opcode": 5, "rcode": 0,
+                               "qr": 1, "zoCount": 1, "prCount": 0,
+                               "upCount": 0, "adCount": 0}, section
+        assert d["zone"] == {"zName": "example.com.", "zType": "SOA",
+                             "zTypeId": 6, "zClass": "IN"}
+        assert d["fullRcode"] == 0 and d["rcodeName"] == "NoError"
+    assert ev["socketFamily"] == "INET" and ev["socketProtocol"] == "UDP"
+    assert ev["sourceAddress"] == "127.0.0.1" and ev["sourcePort"] == 14124
+    assert ev["responseAddress"] == "127.0.0.1" and ev["responsePort"] == 0
+    assert ev["time"] == 1_593_541_950_792_494_106
+    assert ev["timestamp"] == "2020-06-30T18:32:30.792494106Z"
