@@ -411,3 +411,31 @@ def test_reference_bind_capture_update_message():
     assert ev["responseAddress"] == "127.0.0.1" and ev["responsePort"] == 0
     assert ev["time"] == 1_593_541_950_792_494_106
     assert ev["timestamp"] == "2020-06-30T18:32:30.792494106Z"
+
+
+def test_dnssec_and_caa_naptr_rdata_formats():
+    """CAA / NAPTR / DS / DNSKEY rdata renderings
+    (dns_message_parser.rs:626-700, format_ds_record,
+    format_dnskey_record)."""
+    head = struct.pack(">HHHHHH", 1, 0x8000, 0, 4, 0, 0)
+    caa_val = b"ca.example.net"
+    caa = _rr(encode_name("x.y"), 257, 1, 1,
+              bytes([0x80, 5]) + b"issue" + caa_val)
+    naptr_rd = (struct.pack(">HH", 100, 10)
+                + bytes([1]) + b"u"
+                + bytes([7]) + b"E2U+sip"
+                + bytes([14]) + b'!^.*$!sip:a@b!'
+                + encode_name("foo.example"))
+    naptr = _rr(encode_name("x.y"), 35, 1, 1, naptr_rd)
+    ds = _rr(encode_name("x.y"), 43, 1, 1,
+             struct.pack(">HBB", 60485, 5, 1) + bytes.fromhex("2bb183af"))
+    dnskey = _rr(encode_name("x.y"), 48, 1, 1,
+                 struct.pack(">HBB", 0x0101, 3, 8) + b"\x01\x02\x03")
+    msg = decode_dns_message(head + caa + naptr + ds + dnskey)
+    r = [a["rData"] for a in msg["answers"]]
+    assert r[0] == '1 issue "ca.example.net"'
+    assert r[1] == '100 10 "u" "E2U+sip" "!^.*$!sip:a@b!" foo.example.'
+    assert r[2] == "60485 5 1 2BB183AF"
+    assert r[3] == "257 3 8 AQID"  # zone key + SEP → 257
+    assert [a["recordType"] for a in msg["answers"]] == \
+        ["CAA", "NAPTR", "DS", "DNSKEY"]

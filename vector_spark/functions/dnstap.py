@@ -254,6 +254,42 @@ def _format_rdata(rtype: int, rdata: bytes, buf: bytes, off: int,
     if rtype == 33 and len(rdata) >= 7:  # SRV: "prio weight port target."
         prio, weight, port = struct.unpack(">HHH", rdata[:6])
         return f"{prio} {weight} {port} {name_at(off + 6)}", None
+
+    def esc(s: bytes) -> str:
+        # escape_string_for_text_representation: backslash then quote
+        return (s.decode("utf-8", "replace")
+                .replace("\\", "\\\\").replace('"', '\\"'))
+
+    if rtype == 257 and len(rdata) >= 2:  # CAA: 'crit tag "value"'
+        crit = (rdata[0] >> 7) & 1
+        tlen = rdata[1]
+        tag = rdata[2:2 + tlen].decode("ascii", "replace")
+        value = rdata[2 + tlen:].decode("utf-8", "replace")
+        return f'{crit} {tag} "{value}"', None
+    if rtype == 35 and len(rdata) >= 4:  # NAPTR
+        order, pref = struct.unpack(">HH", rdata[:4])
+        i = 4
+        parts = []
+        for _ in range(3):  # flags, services, regexp character-strings
+            ln = rdata[i]
+            parts.append(esc(rdata[i + 1:i + 1 + ln]))
+            i += 1 + ln
+        repl = name_at(off + i)
+        return (f'{order} {pref} "{parts[0]}" "{parts[1]}" '
+                f'"{parts[2]}" {repl}'), None
+    if rtype == 43 and len(rdata) >= 4:  # DS: 'tag algo dtype HEXDIGEST'
+        tag, algo, dtype = struct.unpack(">HBB", rdata[:4])
+        return f"{tag} {algo} {dtype} {rdata[4:].hex().upper()}", None
+    if rtype == 48 and len(rdata) >= 4:  # DNSKEY (format_dnskey_record)
+        flags, _proto, algo = struct.unpack(">HBB", rdata[:4])
+        if flags & 0x0080:  # REVOKE
+            shown = 0
+        elif (flags & 0x0100) and (flags & 0x0001):  # zone key + SEP
+            shown = 257
+        else:
+            shown = 256
+        key = base64.b64encode(rdata[4:]).decode("ascii")
+        return f"{shown} 3 {algo} {key}", None
     return None, base64.b64encode(rdata).decode("ascii")
 
 
