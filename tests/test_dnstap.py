@@ -439,3 +439,57 @@ def test_dnssec_and_caa_naptr_rdata_formats():
     assert r[3] == "257 3 8 AQID"  # zone key + SEP → 257
     assert [a["recordType"] for a in msg["answers"]] == \
         ["CAA", "NAPTR", "DS", "DNSKEY"]
+
+
+# ---------------------------------------------------------------------------
+# adversarial bytes: the decoder's only failure mode is ValueError
+
+
+def test_random_bytes_never_crash_decoders():
+    """Malformed input must surface as the documented error channels —
+    decode ValueError (→ NULL / error+rawData at the column seam) —
+    never an unhandled exception type."""
+    import random
+
+    from vector_spark.functions.dnstap import (
+        decode_dnstap_frame, fstrm_split)
+
+    rng = random.Random(0xD15EA5E)
+    for n in (0, 1, 2, 5, 11, 12, 13, 40, 200):
+        for _ in range(200):
+            blob = bytes(rng.randrange(256) for _ in range(n))
+            for fn in (decode_dns_message, fstrm_split,
+                       decode_dnstap_frame):
+                try:
+                    fn(blob)
+                except ValueError:
+                    pass  # the ONE documented failure mode
+
+
+def test_mutated_valid_frame_never_crashes_parse(spark):
+    """Bit-flipped copies of a VALID frame through the full Spark
+    column path: every row yields JSON or NULL, the job never fails."""
+    import json
+    import random
+
+    wire = encode_dns_query(7, "mutate.example.com", 1)
+    good = encode_dnstap_frame(
+        message_type=5, query_message=wire,
+        query_address=socket.inet_aton("10.0.0.1"), query_port=9,
+        query_time_sec=100,
+    )
+    rng = random.Random(42)
+    rows = [(good,)]
+    for _ in range(300):
+        b = bytearray(good)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        rows.append((bytes(b),))
+    df = spark.createDataFrame(rows, "frame binary")
+    out = df.select(parse_dnstap(F.col("frame")).alias("j")).collect()
+    assert len(out) == 301
+    ok = sum(1 for r in out if r["j"] is not None)
+    assert ok >= 1  # the pristine frame always decodes
+    for r in out:
+        if r["j"] is not None:
+            json.loads(r["j"])  # any non-null result is valid JSON

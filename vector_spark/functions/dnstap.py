@@ -271,6 +271,8 @@ def _format_rdata(rtype: int, rdata: bytes, buf: bytes, off: int,
         i = 4
         parts = []
         for _ in range(3):  # flags, services, regexp character-strings
+            if i >= len(rdata):
+                raise ValueError("truncated NAPTR rdata")
             ln = rdata[i]
             parts.append(esc(rdata[i + 1:i + 1 + ln]))
             i += 1 + ln
@@ -478,10 +480,19 @@ def _ip_str(b64: str, family: int) -> str | None:
 
 def decode_dnstap_frame(frame: bytes, *, lowercase: bool = False) -> dict:
     """One dnstap protobuf frame → the parse_dnstap event object
-    (parser.rs:95-263 field-for-field; key names from schema.rs)."""
+    (parser.rs:95-263 field-for-field; key names from schema.rs).
+
+    An undecodable envelope raises ValueError — ONE error surface for
+    malformed input (the prost decode error in the reference), whatever
+    the underlying codec exception was."""
     from vector_spark.sources.protobuf import decode_message
 
-    pb = decode_message(frame, _registry(), "dnstap.Dnstap")
+    try:
+        pb = decode_message(frame, _registry(), "dnstap.Dnstap")
+    except ValueError:
+        raise
+    except Exception as exc:  # wire-level garbage from a generic codec
+        raise ValueError(f"invalid dnstap frame: {exc}") from exc
     out: dict = {}
     if "identity" in pb:
         out["serverId"] = base64.b64decode(pb["identity"]).decode(
