@@ -56,6 +56,15 @@ def main() -> None:
         shuffle = max(cpus, 8, approx_n // 300_000)
     spark = get_spark("vector_spark_bench", master=f"local[{cpus}]",
                       shuffle_partitions=shuffle)
+    # size SCAN partitions to data too: the parse stage is the CPU-heavy
+    # leg, and the default 128MB maxPartitionBytes packs the cache files
+    # into a task count near the core count — ragged waves (measured:
+    # 10 scan tasks over 8 executors at 19.2M ran the pipeline at 0.58
+    # scaling efficiency and 65% executor utilization; ~3 tasks/core
+    # measured 36.6s vs 61.8s on the same leg).  ~100 B/turn.
+    approx_n = n_for_sizing or n_turns_for_sf_dir(sf_dir)
+    scan_bytes = min(128 * 2**20, max(4 * 2**20, approx_n * 100 // (3 * cpus)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(scan_bytes))
 
     n_turns = int(n_override) if n_override else n_turns_for_sf_dir(sf_dir)
     transcripts = transcripts_table(spark, n_turns)

@@ -191,9 +191,14 @@ def transcripts_table(
     cache_dir = cache_dir or CACHE_DIR
     path = os.path.join(cache_dir, f"transcripts_{n_turns}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        # write enough files that a later scan parallelizes past the
-        # 128MB maxPartitionBytes floor (small-SF files are tiny)
-        nfiles = min(64, max(8, n_turns // 50_000))
+        # write enough files that the scan stage gets SEVERAL tasks per
+        # core at any plausible core count: the parse stage is the
+        # CPU-heavy leg, and a task count near the core count quantizes
+        # into ragged waves (measured: 10 scan tasks on 8 executors ran
+        # the 19.2M pipeline at 0.58 scaling efficiency — two waves,
+        # the second 2/8 occupied; ~3 tasks/core restores 0.95+).
+        # ~10k rows (~1 MB) per file keeps per-file overhead trivial.
+        nfiles = min(256, max(8, n_turns // 10_000))
         transcripts_df(spark, n_turns).repartition(nfiles).write.mode(
             "overwrite"
         ).parquet(path)
