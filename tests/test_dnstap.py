@@ -493,3 +493,14 @@ def test_mutated_valid_frame_never_crashes_parse(spark):
     for r in out:
         if r["j"] is not None:
             json.loads(r["j"])  # any non-null result is valid JSON
+
+
+def test_reference_txt_rdata_vector():
+    """The reference's TXT format vector
+    (dns_message_parser.rs:1663-1674): chunks 'abc"def', 'gh\\i', '',
+    'j' render as '"abc\\"def" "gh\\\\i" "" "j"'."""
+    chunks = [b'abc"def', b"gh\\i", b"", b"j"]
+    rdata = b"".join(bytes([len(c)]) + c for c in chunks)
+    head = struct.pack(">HHHHHH", 1, 0x8000, 0, 1, 0, 0)
+    msg = decode_dns_message(head + _rr(encode_name("t.x"), 16, 1, 1, rdata))
+    assert msg["answers"][0]["rData"] == r'"abc\"def" "gh\\i" "" "j"'
